@@ -1,0 +1,16 @@
+"""Test configuration: force the JAX CPU backend with 8 virtual devices so
+multi-chip sharding logic is exercised without TPU hardware (SURVEY.md §4)."""
+
+import os
+
+# Must run before any jax import anywhere in the test session.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)
