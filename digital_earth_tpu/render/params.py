@@ -1,0 +1,61 @@
+"""Scene/trace parameter pytrees (mirrors reference lib/parameters.py:4-15,
+and the static trace budgets of pathtracer.py)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .. import constants as C
+
+
+class SceneParams(NamedTuple):
+    """Traced per-frame scene parameters (reference lib/parameters.py:10-15).
+
+    All fields are jnp scalars/vectors so changing them never recompiles.
+    """
+
+    light_direction: jnp.ndarray  # (3,)
+    sun_cos_angle: jnp.ndarray
+    sun_angular_radius: jnp.ndarray
+    land_height_scale: jnp.ndarray
+
+
+def make_scene_params(
+    sun_angle: float = C.DEFAULT_SUN_ANGLE,
+    sun_path_rot: float = C.DEFAULT_SUN_PATH_ROT,
+    land_height_scale: float = C.DEFAULT_LAND_HEIGHT_SCALE,
+) -> SceneParams:
+    """Light direction from the two sun sliders (reference renderer.py:293-302)."""
+    sun_angle = jnp.asarray(sun_angle, dtype=jnp.float32)
+    sun_path_rot = jnp.asarray(sun_path_rot, dtype=jnp.float32)
+    sun_rot = jnp.stack([-jnp.sin(sun_path_rot), jnp.cos(sun_path_rot)])
+    light_direction = jnp.concatenate(
+        [-jnp.sin(sun_angle)[None], jnp.cos(sun_angle) * sun_rot]
+    )
+    return SceneParams(
+        light_direction=light_direction,
+        sun_cos_angle=jnp.asarray(C.SUN_COS_ANGLE, dtype=jnp.float32),
+        sun_angular_radius=jnp.asarray(C.SUN_ANGULAR_RADIUS, dtype=jnp.float32),
+        land_height_scale=jnp.asarray(land_height_scale, dtype=jnp.float32),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class TraceConfig:
+    """Static trace budgets (jit-static; changing any field recompiles).
+
+    Defaults mirror the reference budgets (pathtracer.py:37,349,448); the
+    tracking-step caps bound the delta/ratio-tracking while-loops, which the
+    reference leaves unbounded (their expected step count is max_extinction *
+    path length; the caps are safety nets well above that).
+    """
+
+    max_bounces: int = C.MAX_BOUNCES
+    land_march_steps: int = C.LAND_MARCH_STEPS
+    max_tracking_steps: int = 8192
+    enable_clouds: bool = True
+    enable_land: bool = True
+    rr_start: int = C.RUSSIAN_ROULETTE_START

@@ -1,0 +1,241 @@
+"""Renderer orchestration: owns the accumulation buffer, camera/scene state,
+textures and LUTs, and the jitted tiled render step.
+
+API parity with the reference Renderer (renderer.py:16-384): ``set_*``
+setters, ``accumulate()`` (one progressive spp), ``fetch_image()`` (post
+chain), ``reset_framebuffer()``. Differences by design:
+
+- all state lives in pytrees passed to jitted functions (no recompiles on
+  parameter changes, no global fields);
+- the pixel grid is traced in tiles (``lax.map``) so the bounce/tracking
+  while-loops exit early per tile instead of per frame — the wavefront
+  replacement for the reference's 16x8 block-interleaved buffer
+  (renderer.py:43-46);
+- the accumulation buffer is donated between spp steps (no copies);
+- rendering is deterministic: frame seed + spp index + tile index derive all
+  randomness.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..assets.luts import CRFPack, SpectralLUTs, load_crf_pack, load_spectral_luts
+from ..assets.textures import TextureAtlas, load_texture_atlas
+from ..ops import spectral as sp
+from . import film
+from .camera import CameraParams, cast_dirs
+from .params import SceneParams, TraceConfig, make_scene_params
+from .pathtracer import trace_paths
+
+
+def _pick_tile_size(total: int, target: int) -> int:
+    """Largest divisor of ``total`` that is <= target (>= 1)."""
+    best = 1
+    for d in range(1, int(math.isqrt(total)) + 1):
+        if total % d == 0:
+            for cand in (d, total // d):
+                if cand <= target and cand > best:
+                    best = cand
+    return best
+
+
+@partial(jax.jit, static_argnames=("image_res", "tile", "cfg"), donate_argnames=("color_buffer",))
+def _render_step(
+    key, color_buffer, cam: CameraParams, scene: SceneParams, atlas, luts,
+    image_res: Tuple[int, int], tile: int, cfg: TraceConfig,
+):
+    """Add one spp to the (W, H, 3) accumulation buffer."""
+    w, h = image_res
+    total = w * h
+    n_tiles = total // tile
+
+    def render_tile(tile_idx):
+        tkey = jax.random.fold_in(key, tile_idx)
+        k_jit_u, k_jit_v, k_wl, k_tr = jax.random.split(tkey, 4)
+        flat = tile_idx * tile + jnp.arange(tile)
+        pu = (flat // h).astype(jnp.float32)
+        pv = (flat % h).astype(jnp.float32)
+        dirs = cast_dirs(
+            cam, pu, pv,
+            jax.random.uniform(k_jit_u, (tile,)),
+            jax.random.uniform(k_jit_v, (tile,)),
+            image_res,
+        )
+        pos = jnp.broadcast_to(cam.position, (tile, 3))
+        u = jax.random.uniform(k_wl, (tile,))
+        wavelength, response, rcp_pdf = sp.spectrum_sample(
+            u, luts.cie_cdf, luts.cie_response
+        )
+        radiance = trace_paths(k_tr, pos, dirs, wavelength, scene, atlas, luts, cfg)
+        xyz = radiance[:, None] * response * rcp_pdf[:, None]
+        return sp.xyz_to_rgb(xyz)
+
+    tiles = jax.lax.map(render_tile, jnp.arange(n_tiles))
+    frame = tiles.reshape(w, h, 3)
+    return color_buffer + frame
+
+
+@partial(jax.jit, static_argnames=("image_res", "drt"))
+def _postprocess(
+    color_buffer, spp, exposure, gamma, crf_curves, crf_index,
+    image_res: Tuple[int, int], drt: str,
+):
+    return film.postprocess(
+        color_buffer, spp, exposure, gamma, crf_curves, crf_index, image_res, drt
+    )
+
+
+class Renderer:
+    """Progressive spectral renderer (reference renderer.py:16)."""
+
+    def __init__(
+        self,
+        image_res: Tuple[int, int] = (1920, 1080),
+        up=(0.0, 1.0, 0.0),
+        atlas: Optional[TextureAtlas] = None,
+        luts: Optional[SpectralLUTs] = None,
+        crf: Optional[CRFPack] = None,
+        tile_pixels: int = 65536,
+        seed: int = 0,
+        cfg: TraceConfig = TraceConfig(),
+        drt: str = "opendrt",
+    ):
+        self.image_res = tuple(image_res)
+        self.aspect_ratio = image_res[0] / image_res[1]
+        self.cfg = cfg
+        self.drt = drt
+        self.atlas = atlas if atlas is not None else load_texture_atlas()
+        self.luts = luts if luts is not None else load_spectral_luts()
+        self.crf = crf if crf is not None else load_crf_pack()
+        self.crf_names = list(self.crf.names)
+
+        total = image_res[0] * image_res[1]
+        self.tile = _pick_tile_size(total, tile_pixels)
+
+        # Host-side scalar state, mirroring reference defaults
+        # (renderer.py:49-58)
+        self.camera_pos = np.zeros(3, dtype=np.float64)
+        self.look_at = np.zeros(3, dtype=np.float64)
+        self.up = np.asarray(up, dtype=np.float64)
+        self.up /= np.linalg.norm(self.up)
+        self.fov = C.DEFAULT_FOV
+        self.aspect_scale = 1.0
+        self.exposure = C.DEFAULT_EXPOSURE
+        self.gamma = C.DEFAULT_GAMMA
+        self.selected_crf = 0
+        self.sun_angle = C.DEFAULT_SUN_ANGLE
+        self.sun_path_rot = C.DEFAULT_SUN_PATH_ROT
+        self.land_height_scale = C.DEFAULT_LAND_HEIGHT_SCALE
+
+        self._base_key = jax.random.PRNGKey(seed)
+        self.current_spp = 0
+        self.color_buffer = jnp.zeros(
+            (image_res[0], image_res[1], 3), dtype=jnp.float32
+        )
+
+    # --- setters (reference renderer.py:224-266) -------------------------
+    def set_camera_pos(self, x, y, z):
+        self.camera_pos = np.array([x, y, z], dtype=np.float64)
+
+    def set_look_at(self, x, y, z):
+        self.look_at = np.array([x, y, z], dtype=np.float64)
+
+    def set_up(self, x, y, z):
+        up = np.array([x, y, z], dtype=np.float64)
+        self.up = up / np.linalg.norm(up)
+
+    def set_fov(self, fov):
+        self.fov = float(fov)
+
+    def set_aspect_scale(self, scale):
+        self.aspect_scale = float(scale)
+
+    def set_exposure(self, exposure):
+        self.exposure = float(exposure)
+
+    def set_gamma(self, gamma):
+        self.gamma = float(gamma)
+
+    def set_crf(self, index):
+        self.selected_crf = int(index)
+
+    def set_sun_angle(self, ang):
+        self.sun_angle = float(ang)
+
+    def set_sun_path_rot(self, ang):
+        self.sun_path_rot = float(ang)
+
+    def set_land_height_scale(self, scale):
+        self.land_height_scale = float(scale)
+
+    # --- pytree assembly ---------------------------------------------------
+    def _camera_params(self) -> CameraParams:
+        return CameraParams(
+            position=jnp.asarray(self.camera_pos, dtype=jnp.float32),
+            look_at=jnp.asarray(self.look_at, dtype=jnp.float32),
+            up=jnp.asarray(self.up, dtype=jnp.float32),
+            fov=jnp.asarray(self.fov, dtype=jnp.float32),
+            aspect_scale=jnp.asarray(self.aspect_scale, dtype=jnp.float32),
+        )
+
+    def _scene_params(self) -> SceneParams:
+        return make_scene_params(
+            self.sun_angle, self.sun_path_rot, self.land_height_scale
+        )
+
+    # --- main API (reference renderer.py:367-384) ---------------------------
+    def reset_framebuffer(self):
+        self.current_spp = 0
+        self.color_buffer = jnp.zeros_like(self.color_buffer)
+
+    def accumulate(self):
+        """Trace one sample per pixel into the accumulation buffer."""
+        key = jax.random.fold_in(self._base_key, self.current_spp)
+        self.color_buffer = _render_step(
+            key, self.color_buffer, self._camera_params(), self._scene_params(),
+            self.atlas, self.luts, self.image_res, self.tile, self.cfg,
+        )
+        self.current_spp += 1
+
+    def fetch_image(self):
+        """Post-process the accumulation buffer; returns (W, H, 3) float sRGB."""
+        return _postprocess(
+            self.color_buffer,
+            jnp.asarray(self.current_spp, dtype=jnp.float32),
+            jnp.asarray(self.exposure, dtype=jnp.float32),
+            jnp.asarray(self.gamma, dtype=jnp.float32),
+            self.crf.curves,
+            jnp.asarray(self.selected_crf, dtype=jnp.int32),
+            self.image_res,
+            self.drt,
+        )
+
+    def fetch_image_np(self) -> np.ndarray:
+        """(H, W, 3) uint8, row 0 at top — ready for PIL/imageio."""
+        img = np.asarray(self.fetch_image())
+        img = np.transpose(img, (1, 0, 2))[::-1]
+        return (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
+    # --- render-state checkpointing (capability noted in SURVEY.md §5) ------
+    def save_checkpoint(self, path: str):
+        """Serialize the resumable render state (accumulation buffer + spp)."""
+        np.savez_compressed(
+            path,
+            color_buffer=np.asarray(self.color_buffer),
+            current_spp=self.current_spp,
+            seed_key=np.asarray(self._base_key),
+        )
+
+    def load_checkpoint(self, path: str):
+        with np.load(path) as z:
+            self.color_buffer = jnp.asarray(z["color_buffer"])
+            self.current_spp = int(z["current_spp"])
+            self._base_key = jnp.asarray(z["seed_key"], dtype=jnp.uint32)
