@@ -1,0 +1,289 @@
+"""Interactive progressive viewer.
+
+The reference opens a local Vulkan window (`ti.ui`, earth_viewer.py:166-319);
+a TPU host is headless, so the equivalent here is a small built-in web
+viewer: a render loop accumulates progressively on-device, and a browser
+page shows the frame, forwards WASD/QE/drag camera input, and exposes the
+same GUI controls (sun angle/path, FOV, aspect scale, exposure, camera
+response, gamma) plus config save/load ('i'/'o') and screenshots ('p').
+
+Also provides ``render_offline`` for scripted, windowless rendering.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import threading
+import time
+from datetime import datetime
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from .camera_controller import CameraController
+from .config_io import SceneConfig, apply_config, load_config, save_config, snapshot_config
+
+HELP_MSG = """
+====================================================
+Camera:
+* Drag on the image to rotate
+* Press W/A/S/D/Q/E (+Shift, Space, Ctrl) to move
+* I saves config.txt, O loads it, P takes a screenshot
+====================================================
+"""
+
+_PAGE = """<!doctype html>
+<html><head><title>Digital Earth (TPU)</title><style>
+body { background:#111; color:#ccc; font-family:monospace; margin:12px; }
+#frame { image-rendering:auto; cursor:crosshair; max-width:100%; }
+.row { margin:4px 0; } input[type=range] { width: 260px; vertical-align:middle; }
+span.val { display:inline-block; width:70px; }
+</style></head><body>
+<div><img id="frame" src="/frame.png" draggable="false"></div>
+<div id="status"></div>
+<div class="row">Sun angle <input type="range" id="sun_angle" min="0" max="360" step="0.1"><span class="val"></span></div>
+<div class="row">Sun path <input type="range" id="sun_path_rot" min="-105" max="105" step="0.1"><span class="val"></span></div>
+<div class="row">FOV <input type="range" id="fov" min="1" max="90" step="0.1"><span class="val"></span></div>
+<div class="row">Aspect <input type="range" id="aspect_scale" min="0.75" max="1.25" step="0.005"><span class="val"></span></div>
+<div class="row">Exposure <input type="range" id="exposure" min="-1" max="10" step="0.05"><span class="val"></span></div>
+<div class="row">CRF <input type="range" id="crf" min="0" max="15" step="1"><span class="val"></span></div>
+<div class="row">Gamma <input type="range" id="gamma" min="0.45" max="2.2" step="0.01"><span class="val"></span></div>
+<script>
+const img = document.getElementById('frame');
+let keys = new Set(); let drag = null;
+function refresh() { img.src = '/frame.png?' + Date.now(); }
+img.onload = () => setTimeout(refresh, 250);
+img.onerror = () => setTimeout(refresh, 1000);
+setInterval(async () => {
+  if (keys.size) await fetch('/input?keys=' + [...keys].join(','));
+  const s = await (await fetch('/state')).json();
+  document.getElementById('status').textContent =
+    `spp ${s.spp}  |  ${s.paths_per_sec.toExponential(2)} paths/s  |  ${s.crf_name}`;
+}, 200);
+window.addEventListener('keydown', e => { keys.add(e.key === ' ' ? 'space' : e.key.toLowerCase());
+  if (e.key==='i') fetch('/save'); if (e.key==='o') fetch('/load'); if (e.key==='p') fetch('/screenshot'); });
+window.addEventListener('keyup', e => keys.delete(e.key === ' ' ? 'space' : e.key.toLowerCase()));
+img.addEventListener('mousedown', e => drag = [e.clientX, e.clientY]);
+window.addEventListener('mouseup', () => drag = null);
+window.addEventListener('mousemove', e => { if (!drag) return;
+  const dx = (drag[0]-e.clientX)/img.width, dy = (drag[1]-e.clientY)/img.height;
+  drag = [e.clientX, e.clientY];
+  if (dx||dy) fetch(`/input?dx=${dx}&dy=${dy}`); });
+for (const id of ['sun_angle','sun_path_rot','fov','aspect_scale','exposure','crf','gamma']) {
+  const el = document.getElementById(id);
+  el.addEventListener('input', () => { el.nextElementSibling.textContent = el.value;
+    fetch(`/set?${id}=${el.value}`); });
+}
+fetch('/state').then(r => r.json()).then(s => {
+  for (const [k, v] of Object.entries(s.sliders)) {
+    const el = document.getElementById(k);
+    if (el) { el.value = v; el.nextElementSibling.textContent = (+v).toFixed(2); }
+  }
+});
+</script></body></html>"""
+
+
+class EarthViewer:
+    """Progressive interactive viewer (reference EarthViewer,
+    earth_viewer.py:166-319)."""
+
+    def __init__(
+        self,
+        renderer=None,
+        image_res=(1920, 1080),
+        config_path: str = "config.txt",
+        screenshot_dir: str = "screenshot",
+        port: int = 8000,
+        **renderer_kwargs,
+    ):
+        if renderer is None:
+            from ..render.renderer import Renderer
+
+            renderer = Renderer(image_res=image_res, **renderer_kwargs)
+        self.renderer = renderer
+        self.camera = CameraController()
+        self.config_path = config_path
+        self.screenshot_dir = screenshot_dir
+        self.port = port
+        self._lock = threading.Lock()
+        self._pending_keys = set()
+        self._pending_rot = [0.0, 0.0]
+        self._paths_per_sec = 0.0
+        self._running = False
+        self.camera.push_to(self.renderer)
+        os.makedirs(screenshot_dir, exist_ok=True)
+        if os.path.exists(config_path):
+            self.load(config_path)
+
+    # --- actions ----------------------------------------------------------
+    def save(self, path=None):
+        save_config(path or self.config_path, snapshot_config(self.renderer, self.camera))
+
+    def load(self, path=None):
+        cfg = load_config(path or self.config_path)
+        self.camera.set_pose(cfg.camera_pos, cfg.look_at, cfg.up)
+        apply_config(self.renderer, cfg)
+        self.camera.push_to(self.renderer)
+
+    def screenshot(self):
+        from PIL import Image
+
+        ts = datetime.today().strftime("%Y-%m-%d-%H%M%S")
+        fname = os.path.join(self.screenshot_dir, f"earth-{ts}.png")
+        Image.fromarray(self.renderer.fetch_image_np()).save(fname)
+        print(f"Screenshot has been saved to {fname}")
+        return fname
+
+    def _frame_png(self) -> bytes:
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(self.renderer.fetch_image_np()).save(buf, format="PNG")
+        return buf.getvalue()
+
+    def _state(self) -> dict:
+        r = self.renderer
+        return {
+            "spp": r.current_spp,
+            "paths_per_sec": self._paths_per_sec,
+            "crf_name": r.crf_names[r.selected_crf],
+            "sliders": {
+                "sun_angle": np.degrees(r.sun_angle),
+                "sun_path_rot": np.degrees(r.sun_path_rot),
+                "fov": np.degrees(r.fov) * 2,
+                "aspect_scale": r.aspect_scale,
+                "exposure": r.exposure,
+                "crf": r.selected_crf,
+                "gamma": r.gamma,
+            },
+        }
+
+    def _apply_set(self, q: dict) -> bool:
+        r = self.renderer
+        reset = False
+        if "sun_angle" in q:
+            r.set_sun_angle(np.radians(float(q["sun_angle"][0]))); reset = True
+        if "sun_path_rot" in q:
+            r.set_sun_path_rot(np.radians(float(q["sun_path_rot"][0]))); reset = True
+        if "fov" in q:
+            r.set_fov(np.radians(float(q["fov"][0])) / 2); reset = True
+        if "aspect_scale" in q:
+            r.set_aspect_scale(float(q["aspect_scale"][0])); reset = True
+        if "exposure" in q:
+            r.set_exposure(float(q["exposure"][0]))
+        if "crf" in q:
+            r.set_crf(int(q["crf"][0]))
+        if "gamma" in q:
+            r.set_gamma(float(q["gamma"][0]))
+        return reset
+
+    # --- render loop -----------------------------------------------------
+    def _render_loop(self):
+        elapsed = 0.05
+        n_pixels = self.renderer.image_res[0] * self.renderer.image_res[1]
+        while self._running:
+            with self._lock:
+                keys = set(self._pending_keys)
+                dx, dy = self._pending_rot
+                self._pending_rot = [0.0, 0.0]
+            moved = self.camera.update_keys(keys, elapsed)
+            moved = self.camera.rotate(dx, dy) or moved
+            if moved:
+                self.camera.push_to(self.renderer)
+                self.renderer.reset_framebuffer()
+            t0 = time.time()
+            self.renderer.accumulate()
+            np.asarray(self.renderer.color_buffer)  # sync
+            elapsed = max(time.time() - t0, 1e-4)
+            self._paths_per_sec = n_pixels / elapsed
+
+    def start(self):
+        """Serve the viewer; blocks until interrupted
+        (the reference's window loop, earth_viewer.py:183-319)."""
+        print(HELP_MSG)
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                q = parse_qs(url.query)
+                if url.path == "/":
+                    body, ctype = _PAGE.encode(), "text/html"
+                elif url.path == "/frame.png":
+                    body, ctype = viewer._frame_png(), "image/png"
+                elif url.path == "/state":
+                    body, ctype = json.dumps(viewer._state()).encode(), "application/json"
+                elif url.path == "/input":
+                    with viewer._lock:
+                        viewer._pending_keys = set(
+                            q.get("keys", [""])[0].split(",")
+                        ) - {""}
+                        viewer._pending_rot[0] += float(q.get("dx", [0])[0])
+                        viewer._pending_rot[1] += float(q.get("dy", [0])[0])
+                    body, ctype = b"ok", "text/plain"
+                elif url.path == "/set":
+                    if viewer._apply_set(q):
+                        viewer.renderer.reset_framebuffer()
+                    body, ctype = b"ok", "text/plain"
+                elif url.path == "/save":
+                    viewer.save(); body, ctype = b"saved", "text/plain"
+                elif url.path == "/load":
+                    viewer.load(); body, ctype = b"loaded", "text/plain"
+                elif url.path == "/screenshot":
+                    body, ctype = viewer.screenshot().encode(), "text/plain"
+                else:
+                    self.send_error(404)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._running = True
+        thread = threading.Thread(target=self._render_loop, daemon=True)
+        thread.start()
+        server = ThreadingHTTPServer(("0.0.0.0", self.port), Handler)
+        print(f"Earth Viewer serving at http://localhost:{self.port}")
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self._running = False
+            thread.join(timeout=5)
+
+
+def render_offline(
+    scene_config: SceneConfig,
+    spp: int = 64,
+    image_res=(1920, 1080),
+    out_path: str = "render.png",
+    renderer=None,
+    progress_every: int = 0,
+    **renderer_kwargs,
+):
+    """Windowless scripted render of a scene config; returns the Renderer."""
+    if renderer is None:
+        from ..render.renderer import Renderer
+
+        renderer = Renderer(image_res=image_res, **renderer_kwargs)
+    apply_config(renderer, scene_config)
+    t0 = time.time()
+    for i in range(spp):
+        renderer.accumulate()
+        if progress_every and (i + 1) % progress_every == 0:
+            np.asarray(renderer.color_buffer)
+            rate = (i + 1) * image_res[0] * image_res[1] / (time.time() - t0)
+            print(f"spp {i+1}/{spp}  {rate:.3e} paths/s")
+    if out_path:
+        from PIL import Image
+
+        Image.fromarray(renderer.fetch_image_np()).save(out_path)
+    return renderer

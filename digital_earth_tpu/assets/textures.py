@@ -11,9 +11,9 @@ from __future__ import annotations
 import os
 from typing import NamedTuple, Optional
 
-import jax.numpy as jnp
 import numpy as np
 
+from ..ops.texture import Tex2D
 from .procgen import cached_earth_textures
 
 # Quality tiers, mirroring reference lib/textures.py:1-8. Tier 0 = 4K is the
@@ -57,21 +57,119 @@ _TIER_FILES = {
 
 _SINGLE_CHANNEL = ("topography", "ocean", "clouds", "bathymetry", "emissive")
 
+# Channel order of the packed material texture (see build_atlas)
+MAT_ALBEDO = slice(0, 3)
+MAT_OCEAN = 3
+MAT_BATHYMETRY = 4
+MAT_EMISSIVE = 5
+MAT_TOPOGRAPHY = 6
+MAT_CLOUDS = 7
+
 
 class TextureAtlas(NamedTuple):
-    """All scene textures as device arrays, (H, W[, 3]) uint8, row 0 = north.
+    """Scene textures in row-gather layout (ops/texture.Tex2D).
 
-    topography_width is static metadata used for the finite-difference normal
-    epsilon (reference pathtracer.py:20 uses pi*planet_r/tex_width).
+    material: 8-channel pack [albedo rgb, ocean, bathymetry, emissive,
+              topography, clouds] — one row gather per surface-material tap
+              instead of the reference's 4+ separate texture samples
+              (reference pathtracer.py:284-313).
+    topography: single-channel copy for the in-loop land march.
+    clouds:   2-channel pack [cloud map, dilated coarse max-mip upsampled to
+              full res]. One row gather returns both the fine density sample
+              AND a conservative local majorant valid within
+              CLOUD_MIP_DILATE_KM of the tap — the space-skipping cloud
+              tracker (render/pathtracer._track_cloud) pays zero extra
+              gathers for its majorant.
+    stars:    3-channel background (reference pathtracer.py:461).
     """
 
-    albedo: jnp.ndarray
-    topography: jnp.ndarray
-    ocean: jnp.ndarray
-    clouds: jnp.ndarray
-    bathymetry: jnp.ndarray
-    emissive: jnp.ndarray
-    stars: jnp.ndarray
+    material: Tex2D
+    topography: Tex2D
+    clouds: Tex2D
+    stars: Tex2D
+
+
+# Cloud majorant mip geometry: must match render/params.TraceConfig.cloud_seg_len
+CLOUD_MIP_H, CLOUD_MIP_W = 64, 128
+CLOUD_MIP_DILATE_KM = 130.0  # > 2x the 60 km tracking segment length
+
+
+def build_cloud_mip(clouds: np.ndarray) -> np.ndarray:
+    """Coarse (64, 128) max-pool of the cloud map, dilated so that the cell
+    containing any point conservatively bounds the texture max within
+    CLOUD_MIP_DILATE_KM of it (latitude-aware in longitude)."""
+    h, w = clouds.shape[:2]
+    c = clouds if clouds.ndim == 2 else clouds[..., 0]
+    c = c.astype(np.float32) / (255.0 if clouds.dtype == np.uint8 else 1.0)
+    # block max to (CLOUD_MIP_H, CLOUD_MIP_W) (pad to multiples first)
+    ph = -h % CLOUD_MIP_H
+    pw = -w % CLOUD_MIP_W
+    cp = np.pad(c, ((0, ph), (0, pw)), mode="edge")
+    bh, bw = cp.shape[0] // CLOUD_MIP_H, cp.shape[1] // CLOUD_MIP_W
+    coarse = cp.reshape(CLOUD_MIP_H, bh, CLOUD_MIP_W, bw).max(axis=(1, 3))
+
+    planet_r = 6371e3 + 10e3  # cloud slab top
+    cell_h_km = np.pi * planet_r / CLOUD_MIP_H / 1e3
+    dil_v = int(np.ceil(CLOUD_MIP_DILATE_KM / cell_h_km))
+    # vertical dilation (clamped rows)
+    out = coarse.copy()
+    for dv in range(-dil_v, dil_v + 1):
+        shifted = coarse[np.clip(np.arange(CLOUD_MIP_H) + dv, 0, CLOUD_MIP_H - 1)]
+        out = np.maximum(out, shifted)
+    # latitude-aware longitudinal dilation (wrapping columns)
+    lat = (0.5 - (np.arange(CLOUD_MIP_H) + 0.5) / CLOUD_MIP_H) * np.pi
+    cell_w_km = 2 * np.pi * planet_r * np.maximum(np.cos(lat), 1e-3) / CLOUD_MIP_W / 1e3
+    dilated = out.copy()
+    for row in range(CLOUD_MIP_H):
+        du = int(np.ceil(CLOUD_MIP_DILATE_KM / cell_w_km[row]))
+        if du >= CLOUD_MIP_W // 2:
+            dilated[row, :] = out[row].max()
+            continue
+        for d in range(1, du + 1):
+            dilated[row] = np.maximum(dilated[row], np.roll(out[row], d))
+            dilated[row] = np.maximum(dilated[row], np.roll(out[row], -d))
+    return dilated
+
+
+def _resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    if img.shape[:2] == (h, w):
+        return img
+    ys = (np.arange(h) * img.shape[0] // h).clip(0, img.shape[0] - 1)
+    xs = (np.arange(w) * img.shape[1] // w).clip(0, img.shape[1] - 1)
+    return img[ys][:, xs]
+
+
+def build_atlas(arrays: dict) -> TextureAtlas:
+    """Pack raw (H, W[, C]) uint8 maps into the row-gather atlas."""
+    albedo = arrays["albedo"]
+    h, w = albedo.shape[:2]
+    mat = np.concatenate(
+        [
+            albedo[..., :3],
+            _resize_nearest(arrays["ocean"], h, w)[..., None],
+            _resize_nearest(arrays["bathymetry"], h, w)[..., None],
+            _resize_nearest(arrays["emissive"], h, w)[..., None],
+            _resize_nearest(arrays["topography"], h, w)[..., None],
+            _resize_nearest(arrays["clouds"], h, w)[..., None],
+        ],
+        axis=-1,
+    )
+    clouds = arrays["clouds"]
+    if clouds.ndim == 3:
+        clouds = clouds[..., 0]
+    mip = build_cloud_mip(clouds)
+    mip_up = _resize_nearest(
+        (mip * 255.0 + 0.999).clip(0, 255).astype(np.uint8),  # ceil: keep conservative
+        clouds.shape[0],
+        clouds.shape[1],
+    )
+    clouds_fm = np.stack([clouds, mip_up], axis=-1)
+    return TextureAtlas(
+        material=Tex2D.from_array(mat),
+        topography=Tex2D.from_array(arrays["topography"]),
+        clouds=Tex2D.from_array(clouds_fm),
+        stars=Tex2D.from_array(arrays["stars"][..., :3]),
+    )
 
 
 def _load_image(path: str, single_channel: bool) -> np.ndarray:
@@ -114,9 +212,8 @@ def load_texture_atlas(
         proc = cached_earth_textures(procedural_resolution, procedural_seed)
         for name in missing:
             arrays[name] = proc[name]
-    return TextureAtlas(**{k: jnp.asarray(v) for k, v in arrays.items()})
+    return build_atlas(arrays)
 
 
 def procedural_texture_atlas(resolution=(1024, 2048), seed: int = 7) -> TextureAtlas:
-    proc = cached_earth_textures(resolution, seed)
-    return TextureAtlas(**{k: jnp.asarray(v) for k, v in proc.items()})
+    return build_atlas(cached_earth_textures(resolution, seed))

@@ -2,70 +2,147 @@
 
 TPUs have no texture units; the reference's GPU sampler calls
 (``sampler.sample_lod(fract(uv*scale), 0)``, lib/math_utils.py:39-44) become
-bilinear gathers against arrays resident in HBM. Longitude (u) wraps,
-latitude (v) clamps — matching a repeat-sampler on an equirect map.
+gathers against arrays resident in HBM. XLA's element gather on TPU costs
+~15 ns/element, but *row* gathers (fetching an aligned 128-lane row per
+query) run ~3x faster per query — so textures are stored in a row-gather
+layout (``Tex2D``): texels packed C-channels-contiguous into (n_rows, 128)
+arrays, fetched one row per texel with an in-register one-hot lane select.
+This also makes a multi-channel fetch (albedo+masks+topo packed into one
+8-channel texture) cost the same one row gather as a single-channel fetch.
 
-Layout convention: textures are (H, W) or (H, W, C) arrays with row 0 at the
-NORTH pole (standard image orientation); ``v`` from ``sphere_uv_map`` is 0 at
-the south pole, so rows are addressed with (1 - v).
+Longitude (u) wraps, latitude (v) clamps. Texel centers at (i+0.5)/N, the
+standard GPU convention the reference's Vulkan sampler uses. Layout: row 0 of
+the source image is the NORTH pole; ``v`` from ``sphere_uv_map`` is 0 at the
+south pole, so rows are addressed with (1 - v).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .math_utils import fract, normalize, sphere_uv_map
 
-
-def _gather2d(tex, iy, ix):
-    """Gather texels; tex (H, W[, C]) any dtype -> float32 in [0, 1] for uint8."""
-    vals = tex[iy, ix]
-    if tex.dtype == jnp.uint8:
-        vals = vals.astype(jnp.float32) * (1.0 / 255.0)
-    return vals
+LANES = 128
 
 
-def sample_equirect(tex, u, v):
-    """Bilinear sample at (u, v) in [0,1]^2; u wraps, v clamps.
+@jax.tree_util.register_pytree_node_class
+class Tex2D:
+    """Texture in row-gather layout.
 
-    Texel centers at (i + 0.5)/N, the standard GPU convention the reference's
-    Vulkan sampler uses.
+    rows: (n_rows, 128) array; texel t's channel c lives at
+          rows[t // tpr, (t % tpr) * C + c] with tpr = 128 // C.
+    h, w, channels: static image dims (aux data, not traced).
     """
-    h, w = tex.shape[0], tex.shape[1]
-    x = u * w - 0.5
-    y = jnp.clip((1.0 - v) * h - 0.5, 0.0, h - 1.0)  # clamp-to-edge at poles
-    x0f = jnp.floor(x)
-    y0f = jnp.floor(y)
-    tx = x - x0f
-    ty = y - y0f
-    x0 = jnp.mod(x0f.astype(jnp.int32), w)
-    x1 = jnp.mod(x0 + 1, w)
-    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
 
-    if tex.ndim == 3:
-        tx = tx[..., None]
-        ty = ty[..., None]
-    v00 = _gather2d(tex, y0, x0)
-    v10 = _gather2d(tex, y0, x1)
-    v01 = _gather2d(tex, y1, x0)
-    v11 = _gather2d(tex, y1, x1)
-    top = v00 * (1.0 - tx) + v10 * tx
-    bot = v01 * (1.0 - tx) + v11 * tx
-    return top * (1.0 - ty) + bot * ty
+    def __init__(self, rows, h, w, channels):
+        self.rows = rows
+        self.h = h
+        self.w = w
+        self.channels = channels
+
+    @property
+    def texels_per_row(self):
+        return LANES // self.channels
+
+    def tree_flatten(self):
+        return (self.rows,), (self.h, self.w, self.channels)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+    @classmethod
+    def from_array(cls, arr) -> "Tex2D":
+        """Pack an (H, W) or (H, W, C) image array into row-gather layout."""
+        arr = np.asarray(arr)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, c = arr.shape
+        tpr = LANES // c
+        n_texels = h * w
+        n_rows = -(-n_texels // tpr)
+        flat = np.zeros((n_rows * tpr, c), dtype=arr.dtype)
+        flat[:n_texels] = arr.reshape(n_texels, c)
+        rows = flat.reshape(n_rows, tpr * c)
+        if tpr * c < LANES:
+            rows = np.pad(rows, ((0, 0), (0, LANES - tpr * c)))
+        return cls(jnp.asarray(rows), h, w, c)
+
+    def __repr__(self):
+        return f"Tex2D({self.h}x{self.w}x{self.channels}, rows={self.rows.shape})"
 
 
-def sample_sphere_texture(tex, pos, scale=1.0):
+def _fetch_texel(tex: Tex2D, iy, ix):
+    """Row-gather fetch of texel (iy, ix) -> (..., C) float in [0,1] for uint8.
+
+    One (n, 128) row gather + C one-hot lane selects (pure VPU math).
+    """
+    c = tex.channels
+    tpr = tex.texels_per_row
+    texel = iy * tex.w + ix
+    r = texel // tpr
+    lane0 = (texel % tpr) * c
+    rows = tex.rows[r]  # (..., 128) row gather — the only memory access
+    if rows.dtype == jnp.uint8:
+        rows = rows.astype(jnp.float32) * (1.0 / 255.0)
+    lane_iota = jnp.arange(LANES, dtype=lane0.dtype)
+    outs = [
+        jnp.sum(
+            rows * (lane_iota == (lane0[..., None] + ci)).astype(rows.dtype), axis=-1
+        )
+        for ci in range(c)
+    ]
+    return jnp.stack(outs, axis=-1)
+
+
+def _wrap_coords(tex: Tex2D, u, v):
+    """(u, v) in [0,1] -> continuous texel coords (x wraps, y clamps)."""
+    x = u * tex.w - 0.5
+    y = jnp.clip((1.0 - v) * tex.h - 0.5, 0.0, tex.h - 1.0)
+    return x, y
+
+
+def sample_equirect(tex: Tex2D, u, v, bilinear: bool = True):
+    """Sample at (u, v) in [0,1]^2. Returns (..., C), squeezed for C=1."""
+    x, y = _wrap_coords(tex, u, v)
+    if bilinear:
+        x0f = jnp.floor(x)
+        y0f = jnp.floor(y)
+        tx = (x - x0f)[..., None]
+        ty = (y - y0f)[..., None]
+        x0 = jnp.mod(x0f.astype(jnp.int32), tex.w)
+        x1 = jnp.mod(x0 + 1, tex.w)
+        y0 = jnp.clip(y0f.astype(jnp.int32), 0, tex.h - 1)
+        y1 = jnp.clip(y0 + 1, 0, tex.h - 1)
+        v00 = _fetch_texel(tex, y0, x0)
+        v10 = _fetch_texel(tex, y0, x1)
+        v01 = _fetch_texel(tex, y1, x0)
+        v11 = _fetch_texel(tex, y1, x1)
+        out = (v00 * (1 - tx) + v10 * tx) * (1 - ty) + (
+            v01 * (1 - tx) + v11 * tx
+        ) * ty
+    else:
+        x0 = jnp.mod(jnp.round(x).astype(jnp.int32), tex.w)
+        y0 = jnp.clip(jnp.round(y).astype(jnp.int32), 0, tex.h - 1)
+        out = _fetch_texel(tex, y0, x0)
+    if tex.channels == 1:
+        out = out[..., 0]
+    return out
+
+
+def sample_sphere_texture(tex: Tex2D, pos, scale=1.0, bilinear: bool = True):
     """Sample an equirect texture at the direction of ``pos``
     (reference lib/math_utils.py:39-44)."""
     u, v = sphere_uv_map(normalize(pos))
     if scale != 1.0:
         u = fract(u * scale)
         v = fract(v * scale)
-    return sample_equirect(tex, u, v)
+    return sample_equirect(tex, u, v, bilinear=bilinear)
 
 
-def sample_dir_texture(tex, direction):
+def sample_dir_texture(tex: Tex2D, direction, bilinear: bool = True):
     """Sample an equirect texture by unit direction (stars background)."""
     u, v = sphere_uv_map(direction)
-    return sample_equirect(tex, u, v)
+    return sample_equirect(tex, u, v, bilinear=bilinear)

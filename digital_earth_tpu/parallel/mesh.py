@@ -1,0 +1,143 @@
+"""Multi-chip rendering over a ``jax.sharding.Mesh``.
+
+The reference is single-GPU (SURVEY.md §2.4); its only parallelism is the
+per-pixel grid. Samples are embarrassingly parallel and the only reduction is
+the accumulation-buffer sum, so the TPU-native scaling design is:
+
+- a 2D mesh ("px", "spp"): the flattened pixel grid is sharded across the
+  "px" axis (each chip owns a contiguous pixel slab), and independent spp
+  batches run across the "spp" axis;
+- each device traces its (pixel-shard x spp-batch) wavefront with a
+  device-unique fold of the frame key;
+- one ``psum`` over the "spp" axis merges the per-spp partial sums over ICI;
+  the result stays sharded over "px" (gathered lazily only when the host
+  fetches the image).
+
+Textures and LUTs are replicated (they are tens of MB; sharding them would
+put gathers on the wrong side of the ICI).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import spectral as sp
+from ..render.camera import CameraParams, cast_dirs
+from ..render.params import SceneParams, TraceConfig
+from ..render.pathtracer import trace_paths
+
+
+def make_render_mesh(
+    devices: Optional[Sequence] = None, spp_axis: Optional[int] = None
+) -> Mesh:
+    """Build the ("px", "spp") render mesh over the given devices.
+
+    ``spp_axis`` controls how many devices trace independent spp batches;
+    default: 2 when the device count is even, else 1.
+    """
+    devices = list(jax.devices()) if devices is None else list(devices)
+    n = len(devices)
+    if spp_axis is None:
+        spp_axis = 2 if n % 2 == 0 and n > 1 else 1
+    assert n % spp_axis == 0, (n, spp_axis)
+    arr = np.array(devices).reshape(n // spp_axis, spp_axis)
+    return Mesh(arr, ("px", "spp"))
+
+
+def _tile_colors(key, cam, scene, atlas, luts, pixel_flat, image_res, cfg):
+    """Trace one spectral sample for a flat batch of pixel indices."""
+    n = pixel_flat.shape[0]
+    h = image_res[1]
+    k_ju, k_jv, k_wl, k_tr = jax.random.split(key, 4)
+    pu = (pixel_flat // h).astype(jnp.float32)
+    pv = (pixel_flat % h).astype(jnp.float32)
+    dirs = cast_dirs(
+        cam, pu, pv,
+        jax.random.uniform(k_ju, (n,)),
+        jax.random.uniform(k_jv, (n,)),
+        image_res,
+    )
+    pos = jnp.broadcast_to(cam.position, (n, 3))
+    u = jax.random.uniform(k_wl, (n,))
+    wavelength, response, rcp_pdf = sp.spectrum_sample(u, luts.cie_cdf, luts.cie_response)
+    radiance = trace_paths(k_tr, pos, dirs, wavelength, scene, atlas, luts, cfg)
+    return sp.xyz_to_rgb(radiance[:, None] * response * rcp_pdf[:, None])
+
+
+def make_sharded_render_step(
+    mesh: Mesh, image_res: Tuple[int, int], cfg: TraceConfig = TraceConfig()
+):
+    """Build a jitted multi-chip render step.
+
+    Returns ``step(key, color_buffer, cam, scene, atlas, luts)`` where
+    ``color_buffer`` is the (W*H, 3) flat accumulation buffer sharded over
+    "px". Each call adds ``mesh.shape['spp']`` spp.
+    """
+    w, h = image_res
+    total = w * h
+    n_px = mesh.shape["px"]
+    n_spp = mesh.shape["spp"]
+    assert total % n_px == 0, (total, n_px)
+    shard = total // n_px
+
+    def shard_fn(key, color_buffer, cam, scene, atlas, luts):
+        px_idx = jax.lax.axis_index("px")
+        spp_idx = jax.lax.axis_index("spp")
+        dev_key = jax.random.fold_in(jax.random.fold_in(key, px_idx), spp_idx)
+        pixel_flat = px_idx * shard + jnp.arange(shard)
+        colors = _tile_colors(
+            dev_key, cam, scene, atlas, luts, pixel_flat, image_res, cfg
+        )
+        # merge the spp batches over ICI; pixels stay sharded
+        colors = jax.lax.psum(colors, "spp")
+        return color_buffer + colors
+
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P("px"), P(), P(), P(), P()),
+        out_specs=P("px"),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(1,)), n_spp
+
+
+class MultiChipRenderer:
+    """Thin multi-chip accumulation driver around the sharded step.
+
+    Mirrors the Renderer accumulate/fetch contract; each ``accumulate()``
+    adds ``spp_per_step`` samples per pixel (one per "spp"-axis device).
+    """
+
+    def __init__(self, mesh, image_res, atlas, luts, cfg=TraceConfig(), seed=0):
+        self.mesh = mesh
+        self.image_res = tuple(image_res)
+        self.atlas = atlas
+        self.luts = luts
+        self.cfg = cfg
+        self.step, self.spp_per_step = make_sharded_render_step(mesh, image_res, cfg)
+        self._base_key = jax.random.PRNGKey(seed)
+        self.current_spp = 0
+        sharding = NamedSharding(mesh, P("px"))
+        self.color_buffer = jax.device_put(
+            jnp.zeros((image_res[0] * image_res[1], 3), dtype=jnp.float32), sharding
+        )
+
+    def accumulate(self, cam: CameraParams, scene: SceneParams):
+        key = jax.random.fold_in(self._base_key, self.current_spp)
+        self.color_buffer = self.step(
+            key, self.color_buffer, cam, scene, self.atlas, self.luts
+        )
+        self.current_spp += self.spp_per_step
+
+    def fetch_buffer(self):
+        """(W, H, 3) accumulated linear RGB, gathered to host."""
+        w, h = self.image_res
+        return np.asarray(self.color_buffer).reshape(w, h, 3)

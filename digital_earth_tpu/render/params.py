@@ -59,3 +59,16 @@ class TraceConfig:
     enable_clouds: bool = True
     enable_land: bool = True
     rr_start: int = C.RUSSIAN_ROULETTE_START
+    # Filtering of the *in-loop* texture taps (land march SDF, cloud density
+    # during tracking). The reference bilinearly filters everything
+    # (lib/math_utils.py:44); nearest taps quarter the gather volume of the
+    # hot loops at sub-texel visual cost, so they are the default here.
+    bilinear_tracking: bool = False
+    # Filtering of per-bounce material/stars lookups (reference-faithful).
+    bilinear_materials: bool = True
+    # Speculative probes per while-loop iteration: tracking loops draw
+    # ``tracking_k`` free-flight steps per iteration and the land march takes
+    # ``march_k`` SDF probes per iteration — one batched gather each,
+    # amortizing the fixed per-gather-op cost of TPU gathers.
+    tracking_k: int = 4
+    march_k: int = 1

@@ -63,24 +63,26 @@ _MAX_DENS_RMO = _np.array(
 # ---------------------------------------------------------------------------
 
 
-def land_sdf(topo, pos, scale):
+def land_sdf(topo, pos, scale, bilinear=True):
     """Bump-mapped sphere SDF (reference pathtracer.py:11-14)."""
-    return mu.length(pos) - C.PLANET_R - scale * tx.sample_sphere_texture(topo, pos)
+    return mu.length(pos) - C.PLANET_R - scale * tx.sample_sphere_texture(
+        topo, pos, bilinear=bilinear
+    )
 
 
-def land_normal(topo, pos, scale):
+def land_normal(topo, pos, scale, bilinear=True):
     """Finite-difference normal, 3 extra SDF taps
     (reference pathtracer.py:16-25; epsilon = pi*planet_r/tex_width)."""
-    d = land_sdf(topo, pos, scale)
-    e = math.pi * C.PLANET_R / topo.shape[1]
+    d = land_sdf(topo, pos, scale, bilinear)
+    e = math.pi * C.PLANET_R / topo.w
     ex = jnp.array([e, 0.0, 0.0])
     ey = jnp.array([0.0, e, 0.0])
     ez = jnp.array([0.0, 0.0, e])
     n = jnp.stack(
         [
-            d - land_sdf(topo, pos - ex, scale),
-            d - land_sdf(topo, pos - ey, scale),
-            d - land_sdf(topo, pos - ez, scale),
+            d - land_sdf(topo, pos - ex, scale, bilinear),
+            d - land_sdf(topo, pos - ey, scale, bilinear),
+            d - land_sdf(topo, pos - ez, scale, bilinear),
         ],
         axis=-1,
     )
@@ -88,38 +90,83 @@ def land_normal(topo, pos, scale):
 
 
 def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig):
-    """Masked sphere-march against the displaced sphere
-    (reference pathtracer.py:27-46: RSI warm start + <=250 steps, relative
-    epsilon |d| < t*1e-4, march cap 10 planet radii). Lanes whose ray misses
-    the bounding sphere of the displaced surface are culled analytically.
+    """Speculative sphere-march against the displaced sphere.
+
+    Semantics follow reference pathtracer.py:27-46 (march budget, relative
+    epsilon |d| < t*1e-4, hit-if-unconverged-at-cap, 10-planet-radii cap),
+    with wavefront-native accelerations:
+
+    - analytic cull + bracket: rays missing the bounding sphere of the
+      displaced surface (radius planet_r + height_scale) never march; the
+      march starts at the bounding-sphere entry and is declared a miss once
+      it leaves the bounding shell;
+    - speculative multi-probe stepping: each iteration takes K probes spaced
+      by the current SDF value and accepts the longest certified prefix
+      (probe j is reachable iff all previous probes had SDF >= the spacing),
+      so one batched texture fetch advances up to K sphere-trace steps;
+    - a step floor of a quarter texel arc: terrain features narrower than a
+      texel cannot exist, so steps never shrink below what a probe can
+      resolve (this is what bounds grazing shadow-ray marches, which in the
+      reference crawl at the SDF rate until the 250-step cap);
+    - reference-style negative-SDF backtrack: a probe inside the terrain
+      takes a single retreating step, oscillating onto the boundary.
+
     Returns hit distance, -1.0 on miss.
     """
     n = pos.shape[0]
     if not cfg.enable_land:
         return jnp.full((n,), -1.0)
+    k = cfg.march_k
+    step_floor = math.pi * C.PLANET_R / topo.w * 0.25  # quarter-texel arc
 
-    _, bound_far = mu.rsi(pos, direction, C.PLANET_R + scale)
+    bound_near, bound_far = mu.rsi(pos, direction, C.PLANET_R + scale)
     may_hit = active & (bound_far > 0.0)
-
-    a_near, _ = mu.rsi(pos, direction, C.ATMOS_UPPER_LIMIT)
-    ray_dist0 = jnp.where(a_near > 0.0, a_near, 0.0)
+    t0 = jnp.maximum(bound_near, 0.0)
     max_ray_dist = C.PLANET_R * 10.0
+    miss_beyond = jnp.minimum(bound_far + 1.0, max_ray_dist)
+
+    f0 = land_sdf(
+        topo, pos + t0[:, None] * direction, scale, cfg.bilinear_tracking
+    )
+    hit0 = may_hit & (jnp.abs(f0) < t0 * 1e-4)
+    done0 = (~may_hit) | hit0
+    offs = jnp.arange(1, k + 1, dtype=jnp.float32)[:, None]  # (k, 1)
+    arange_k = jnp.arange(k)[:, None]
 
     def cond(s):
-        i, _, done = s
+        i, _, _, done, _ = s
         return (i < cfg.land_march_steps) & jnp.any(~done)
 
     def body(s):
-        i, ray_dist, done = s
-        ro = pos + ray_dist[:, None] * direction
-        dist = land_sdf(topo, ro, scale)
-        new_dist = ray_dist + dist
-        converged = (new_dist > max_ray_dist) | (jnp.abs(dist) < new_dist * 1e-4)
-        ray_dist = jnp.where(done, ray_dist, new_dist)
-        return i + 1, ray_dist, done | converged
+        i, t, f_cur, done, missed = s
+        neg = f_cur < 0.0
+        step = jnp.where(neg, f_cur, jnp.maximum(f_cur, step_floor))
+        ts = t[None, :] + offs * step[None, :]  # (k, n)
+        probe_pos = pos[None, :, :] + ts[..., None] * direction[None, :, :]
+        f_k = land_sdf(topo, probe_pos, scale, cfg.bilinear_tracking)  # (k, n)
+        # certified prefix: probe j reachable iff probes before it had f >= step
+        ok = f_k >= step[None, :]
+        reach = jnp.cumprod(
+            jnp.concatenate([jnp.ones((1, n), bool), ok[:-1]], axis=0), axis=0
+        ).astype(bool)
+        adv = jnp.where(neg, 1, jnp.sum(reach, axis=0))  # in [1, k]
+        pick = (arange_k == (adv - 1)[None, :]).astype(f_k.dtype)
+        t_new = t + adv * step
+        f_new = jnp.sum(f_k * pick, axis=0)
+        converged = jnp.abs(f_new) < t_new * 1e-4
+        out = t_new > miss_beyond
+        t = jnp.where(done, t, t_new)
+        f_cur = jnp.where(done, f_cur, f_new)
+        missed = missed | ((~done) & out)
+        done = done | converged | out
+        return i + 1, t, f_cur, done, missed
 
-    _, ray_dist, _ = jax.lax.while_loop(cond, body, (0, ray_dist0, ~may_hit))
-    return jnp.where(may_hit & (ray_dist < max_ray_dist), ray_dist, -1.0)
+    _, t, _, _, missed = jax.lax.while_loop(
+        cond, body, (0, t0, f0, done0, ~may_hit)
+    )
+    # reference semantics: anything that neither left the shell nor exceeded
+    # the cap distance counts as a hit (pathtracer.py:46)
+    return jnp.where((~missed) & (t < max_ray_dist), t, -1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -127,37 +174,25 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig):
 # ---------------------------------------------------------------------------
 
 
-def get_clouds_density(clouds_tex, pos):
-    """Cloud slab density: column-height split shape in [4km, 10km]
-    (reference pathtracer.py:48-65)."""
-    r = mu.length(pos)
+def _cloud_shape_density(cloud_texture, r):
+    """Cloud density from the column-height sample and radius
+    (reference pathtracer.py:48-65): split-shape slab occupancy."""
     in_slab = (r > C.CLOUDS_LOWER_LIMIT) & (r < C.CLOUDS_UPPER_LIMIT)
     h = (r - C.CLOUDS_LOWER_LIMIT) / C.CLOUDS_THICKNESS
-    cloud_texture = tx.sample_sphere_texture(clouds_tex, pos)
-    column_height = cloud_texture
     split = 0.2
-    shape_on = (h - split < column_height * (1.0 - split)) & (
-        split - h < column_height * split
+    shape_on = (h - split < cloud_texture * (1.0 - split)) & (
+        split - h < cloud_texture * split
     )
-    density = jnp.where(
-        in_slab & shape_on, jnp.maximum(cloud_texture, 0.4), 0.0
-    )
+    density = jnp.where(in_slab & shape_on, jnp.maximum(cloud_texture, 0.4), 0.0)
     return density * C.CLOUDS_DENSITY
 
 
-def _density4(pos, clouds_tex, species):
-    """(rayleigh, mie, ozone, cloud) densities; the static ``species`` selects
-    which channels are actually computed — the wavefront version of the
-    reference's get_atmos_density (pathtracer.py:67-71), minus the wasted
-    cloud gather during RMO tracking."""
-    n = pos.shape[0]
-    if species == "rmo":
-        rmo = vol.get_density(vol.get_elevation(pos))
-        return jnp.concatenate([rmo, jnp.zeros((n, 1))], axis=-1)
-    elif species == "cloud":
-        c = get_clouds_density(clouds_tex, pos)
-        return jnp.concatenate([jnp.zeros((n, 3)), c[:, None]], axis=-1)
-    raise ValueError(species)
+def get_clouds_density(clouds_tex, pos, bilinear=True):
+    """Cloud slab density at a position (reference pathtracer.py:48-65).
+    ``clouds_tex`` is the 2-channel (map, majorant-mip) texture; channel 0 is
+    the column-height map."""
+    sample = tx.sample_sphere_texture(clouds_tex, pos, bilinear=bilinear)
+    return _cloud_shape_density(sample[..., 0], mu.length(pos))
 
 
 # ---------------------------------------------------------------------------
@@ -165,16 +200,21 @@ def _density4(pos, clouds_tex, species):
 # ---------------------------------------------------------------------------
 
 
-def _delta_track(
+def _delta_track_rmo(
     key, ray_pos, ray_dir, t_start, t_max, extinctions, max_extinction,
-    clouds_tex, species, active, cfg: TraceConfig,
+    active, cfg: TraceConfig,
 ):
-    """Woodcock/delta tracking of a free-flight interaction
-    (reference pathtracer.py:77-115). Returns (event, t, interaction_id)."""
+    """Woodcock/delta tracking of a free-flight interaction with the
+    Rayleigh/Mie/ozone gases (reference pathtracer.py:77-115; purely analytic
+    densities — no texture access). Each loop iteration draws K speculative
+    free-flight steps at once and resolves the first terminal one, amortizing
+    the per-iteration cost K-fold. Returns (event, t, interaction_id)."""
     n = t_start.shape[0]
+    k = cfg.tracking_k
     valid = active & (t_max >= 0.0) & (t_start < t_max)
     inv_max = 1.0 / max_extinction
     t_max_safe = jnp.maximum(t_max, 0.0)
+    arange_k = jnp.arange(k)[:, None]
 
     def cond(s):
         i, _, _, done, _, _ = s
@@ -182,35 +222,40 @@ def _delta_track(
 
     def body(s):
         i, key, t, done, event, iid = s
-        key, k1, k2, k3 = jax.random.split(key, 4)
-        u_step = jnp.maximum(jax.random.uniform(k1, (n,)), 1e-12)
-        t_new = t - jnp.log(u_step) * inv_max
-        over = t_new >= t_max
-        pos = ray_pos + jnp.minimum(t_new, t_max_safe)[:, None] * ray_dir
-        ext_sample = extinctions * _density4(pos, clouds_tex, species)
-        total = jnp.sum(ext_sample, axis=-1)
-        u_evt = jax.random.uniform(k2, (n,))
-        real = u_evt < total * inv_max
-        if species == "rmo":
-            # progressive CMF over (rayleigh, mie, ozone)
-            # (reference pathtracer.py:102-106)
-            r = u_evt * max_extinction
-            c0 = ext_sample[:, 0]
-            c01 = c0 + ext_sample[:, 1]
-            iid_new = jnp.where(r < c0, C.RAYLEIGH_ID, jnp.where(r < c01, C.MIE_ID, C.OZONE_ID))
-        else:
-            iid_new = jnp.full((n,), C.CLOUD_ID, dtype=jnp.int32)
+        key, k1 = jax.random.split(key)
+        u = jax.random.uniform(k1, (3, k, n))
+        steps = -jnp.log(jnp.maximum(u[0], 1e-12)) * inv_max  # (k, n)
+        ts = t[None, :] + jnp.cumsum(steps, axis=0)
+        pos = ray_pos[None] + jnp.minimum(ts, t_max_safe)[..., None] * ray_dir[None]
+        ext_sample = extinctions[None] * vol.get_density(vol.get_elevation(pos))
+        total = jnp.sum(ext_sample, axis=-1)  # (k, n)
+        over_k = ts >= t_max
+        real_k = u[1] < total * inv_max
+        stop_k = over_k | real_k
+        any_stop = jnp.any(stop_k, axis=0)
+        first = jnp.argmax(stop_k, axis=0)  # first terminal probe
+        pick = (arange_k == first[None, :]).astype(ts.dtype)
+        psel = lambda a: jnp.sum(a * pick, axis=0)
+        t_sel = jnp.where(any_stop, psel(ts), ts[-1])
+        over = psel(over_k.astype(ts.dtype)) > 0.5
+        # species CMF over (rayleigh, mie, ozone) at the stopping probe
+        # (reference pathtracer.py:102-106)
+        r = psel(u[1]) * max_extinction
+        c0 = psel(ext_sample[..., 0])
+        c01 = c0 + psel(ext_sample[..., 1])
+        iid_new = jnp.where(
+            r < c0, C.RAYLEIGH_ID, jnp.where(r < c01, C.MIE_ID, C.OZONE_ID)
+        )
         # albedo Russian roulette: scatter vs absorb
         # (reference pathtracer.py:108-111, 263-270)
-        u_sc = jax.random.uniform(k3, (n,))
-        scatters = u_sc < _ALBEDOS[iid_new]
-        hit = (~done) & (~over) & real
+        scatters = psel(u[2]) < _ALBEDOS[iid_new]
+        hit = (~done) & any_stop & (~over)
         event = jnp.where(
             hit, jnp.where(scatters, SCATTER_EVENT, ABSORB_EVENT), event
         )
         iid = jnp.where(hit, iid_new, iid)
-        t = jnp.where(done, t, t_new)
-        done = done | over | hit
+        t = jnp.where(done, t, t_sel)
+        done = done | ((~done) & any_stop)
         return i + 1, key, t, done, event, iid
 
     init = (
@@ -225,13 +270,14 @@ def _delta_track(
     return event, t, iid
 
 
-def _ratio_track(
+def _ratio_track_rmo(
     key, ray_pos, ray_dir, t_start, t_max, extinctions, max_extinction,
-    clouds_tex, species, active, cfg: TraceConfig,
+    active, cfg: TraceConfig,
 ):
-    """Residual-free ratio tracking of transmittance
-    (reference pathtracer.py:117-143)."""
+    """Residual ratio tracking of RMO transmittance
+    (reference pathtracer.py:117-143), K speculative steps per iteration."""
     n = t_start.shape[0]
+    k = cfg.tracking_k
     valid = active & (t_max >= 0.0) & (t_start < t_max)
     inv_max = 1.0 / max_extinction
     t_max_safe = jnp.maximum(t_max, 0.0)
@@ -243,20 +289,182 @@ def _ratio_track(
     def body(s):
         i, key, t, done, trans = s
         key, k1 = jax.random.split(key)
-        u_step = jnp.maximum(jax.random.uniform(k1, (n,)), 1e-12)
-        t_new = t - jnp.log(u_step) * inv_max
-        over = t_new >= t_max
-        pos = ray_pos + jnp.minimum(t_new, t_max_safe)[:, None] * ray_dir
-        ext_sample = extinctions * _density4(pos, clouds_tex, species)
+        u = jax.random.uniform(k1, (k, n))
+        steps = -jnp.log(jnp.maximum(u, 1e-12)) * inv_max
+        ts = t[None, :] + jnp.cumsum(steps, axis=0)
+        pos = ray_pos[None] + jnp.minimum(ts, t_max_safe)[..., None] * ray_dir[None]
+        ext_sample = extinctions[None] * vol.get_density(vol.get_elevation(pos))
         total = jnp.sum(ext_sample, axis=-1)
-        factor = 1.0 - total * inv_max
-        trans = jnp.where(done | over, trans, trans * factor)
-        done = done | over | (trans < 1e-5)
-        t = jnp.where(done, t, t_new)
+        inside = (ts < t_max) & (~done)[None, :]
+        factors = jnp.where(inside, 1.0 - total * inv_max, 1.0)
+        trans = trans * jnp.prod(factors, axis=0)
+        t = jnp.where(done, t, ts[-1])
+        done = done | (ts[-1] >= t_max) | (trans < 1e-5)
         return i + 1, key, t, done, trans
 
     init = (0, key, t_start, ~valid, jnp.ones((n,)))
     _, _, _, _, trans = jax.lax.while_loop(cond, body, init)
+    return trans
+
+
+# Cloud majorant-mip geometry: the mip channel of atlas.clouds is dilated by
+# CLOUD_MIP_DILATE_KM (assets/textures.build_cloud_mip), so a tap at position
+# p bounds the density within that radius. Tracking stays within a safety
+# margin of the last tap; empty space is skipped in strides of _CLOUD_SKIP.
+_CLOUD_VALID = 115e3  # < 130 km dilation, with margin
+_CLOUD_SKIP = 100e3
+
+
+def _track_cloud(
+    key, ray_pos, ray_dir, t_start, t_max, ext_w, max_extinction,
+    clouds_tex, active, cfg: TraceConfig, mode: str,
+):
+    """Space-skipping cloud tracking (mode = 'delta' or 'ratio').
+
+    Spatially-varying-majorant tracking with the majorant fused into the
+    texture fetch: every tap of the 2-channel cloud texture returns the fine
+    column-height sample AND a dilated-max mip value that conservatively
+    bounds the density within _CLOUD_VALID of the tap. Per loop iteration:
+
+    - lanes with a zero local majorant probe K points spaced _CLOUD_SKIP
+      apart and jump past certified-empty space (limb chords through clear
+      sky cost ~chord/400km iterations instead of sigma_max*chord steps);
+    - lanes with a positive local majorant take K speculative Woodcock steps
+      (clamped to the majorant's validity radius) and resolve the first
+      terminal one.
+
+    Unbiased: the mip is a true local upper bound, steps never leave its
+    validity region, and majorant switches exploit exponential memorylessness.
+    The reference tracks the whole chord against the global majorant
+    (pathtracer.py:77-143) — thousands of steps for limb rays.
+    """
+    n = t_start.shape[0]
+    k = cfg.tracking_k
+    is_delta = mode == "delta"
+    valid = active & (t_max >= 0.0) & (t_start < t_max)
+    t_max_safe = jnp.maximum(t_max, 0.0)
+    arange_k = jnp.arange(k)[:, None]
+
+    def majorant(mip_val):
+        return jnp.where(
+            mip_val > 0.0,
+            ext_w[None, :] * C.CLOUDS_DENSITY * jnp.maximum(mip_val, 0.4),
+            0.0,
+        )
+
+    def cond(s):
+        i, done = s[0], s[3]
+        return (i < cfg.max_tracking_steps) & jnp.any(~done)
+
+    def body(s):
+        i, key, t, done, t_fetch, sig_loc, event, trans = s
+        key, k1 = jax.random.split(key)
+        u = jax.random.uniform(k1, (3, k, n))
+
+        skipping = sig_loc <= 0.0
+        budget_end = jnp.minimum(t_fetch + _CLOUD_VALID, t_max)
+
+        # probe positions: skip-probes at fixed strides (first at the current
+        # position: its tap certifies the zone ahead), or Woodcock steps
+        skip_ts = t[None, :] + arange_k.astype(jnp.float32) * _CLOUD_SKIP
+        steps = -jnp.log(jnp.maximum(u[0], 1e-12)) / jnp.maximum(sig_loc, 1e-20)
+        wood_ts = t[None, :] + jnp.cumsum(steps, axis=0)
+        ts = jnp.where(skipping[None, :], skip_ts, wood_ts)
+        crossed = jnp.where(
+            skipping[None, :], ts >= t_max, ts >= budget_end[None, :]
+        )
+        ts_c = jnp.minimum(
+            ts, jnp.where(skipping, t_max_safe, jnp.minimum(budget_end, t_max_safe))[None, :]
+        )
+        pos = ray_pos[None] + ts_c[..., None] * ray_dir[None]
+        sample = tx.sample_sphere_texture(
+            clouds_tex, pos, bilinear=cfg.bilinear_tracking
+        )  # (k, n, 2): fine column height + majorant mip
+        fine_ext = ext_w[None, :] * _cloud_shape_density(
+            sample[..., 0], mu.length(pos)
+        )
+        mip_k = sample[..., 1]
+
+        # --- skip branch: jump to the first probe whose majorant is nonzero
+        skip_stop = (mip_k > 0.0) | crossed
+        skip_any = jnp.any(skip_stop, axis=0)
+        skip_first = jnp.argmax(skip_stop, axis=0)
+        pickf = (arange_k == skip_first[None, :]).astype(ts.dtype)
+        skip_t = jnp.where(
+            skip_any,
+            jnp.sum(ts_c * pickf, axis=0),
+            t + k * _CLOUD_SKIP,
+        )
+        skip_sig = jnp.where(
+            skip_any, majorant(jnp.sum(mip_k * pickf, axis=0))[0], 0.0
+        )
+
+        # --- tracking branch: first real collision or budget crossing
+        ratio = fine_ext / jnp.maximum(sig_loc[None, :], 1e-20)
+        real_k = (u[1] < ratio) & (~crossed)
+        stop_k = real_k | crossed
+        any_stop = jnp.any(stop_k, axis=0)
+        first = jnp.argmax(stop_k, axis=0)
+        pick = (arange_k == first[None, :]).astype(ts.dtype)
+        psel = lambda a: jnp.sum(a * pick, axis=0)
+        if is_delta:
+            wood_t = jnp.where(any_stop, psel(ts_c), ts_c[-1])
+            wood_real = any_stop & (psel(real_k.astype(ts.dtype)) > 0.5)
+            # refresh the majorant from the tap at the stopping/last position
+            wood_last_mip = jnp.where(any_stop, psel(mip_k), mip_k[-1])
+        else:
+            # ratio mode: every in-budget probe contributes a factor; advance
+            # past all of them (to the budget boundary if it was crossed)
+            any_crossed = jnp.any(crossed, axis=0)
+            first_cross = jnp.argmax(crossed, axis=0)
+            pick_c = (arange_k == first_cross[None, :]).astype(ts.dtype)
+            wood_t = jnp.where(
+                any_crossed, jnp.sum(ts_c * pick_c, axis=0), ts_c[-1]
+            )
+            wood_real = jnp.zeros((n,), bool)
+            wood_last_mip = jnp.where(
+                any_crossed, jnp.sum(mip_k * pick_c, axis=0), mip_k[-1]
+            )
+            factors = jnp.where(crossed, 1.0, 1.0 - ratio)
+            block = jnp.prod(factors, axis=0)
+        wood_sig = majorant(wood_last_mip[None, :])[0]
+
+        step_lane = (~done) & (~skipping)
+        skip_lane = (~done) & skipping
+
+        t_new = jnp.where(skip_lane, skip_t, jnp.where(step_lane, wood_t, t))
+        sig_new = jnp.where(
+            skip_lane, skip_sig, jnp.where(step_lane, wood_sig, sig_loc)
+        )
+        t_fetch_new = jnp.where(skip_lane | step_lane, t_new, t_fetch)
+
+        if is_delta:
+            hit = step_lane & wood_real
+            scatters = psel(u[2]) < C.CLOUD_ALBEDO
+            event = jnp.where(
+                hit, jnp.where(scatters, SCATTER_EVENT, ABSORB_EVENT), event
+            )
+            done = done | hit
+        else:
+            trans = jnp.where(step_lane, trans * block, trans)
+            done = done | (trans < 1e-5)
+
+        done = done | (t_new >= t_max)
+        return i + 1, key, t_new, done, t_fetch_new, sig_new, event, trans
+
+    init = (
+        0,
+        key,
+        t_start,
+        ~valid,
+        t_start,
+        jnp.zeros((n,)),
+        jnp.full((n,), NULL_EVENT, dtype=jnp.int32),
+        jnp.ones((n,)),
+    )
+    _, _, t, _, _, _, event, trans = jax.lax.while_loop(cond, body, init)
+    if is_delta:
+        return event, t
     return trans
 
 
@@ -296,26 +504,25 @@ def _rmo_span(ray_pos, ray_dir, land_isection):
 
 def sample_interaction(
     key, ray_pos, ray_dir, land_isection, extinctions, max_ext_rmo,
-    max_ext_cloud, clouds_tex, active, cfg: TraceConfig,
+    max_ext_cloud, atlas, active, cfg: TraceConfig,
 ):
     """Two-pass free-flight sampling: RMO gases, then the cloud slab; the
     nearer event wins (reference pathtracer.py:172-207)."""
     k_rmo, k_cloud = jax.random.split(key)
     t_start, t_max = _rmo_span(ray_pos, ray_dir, land_isection)
-    rmo_ext = extinctions.at[:, 3].set(0.0)
-    rmo_event, rmo_t, rmo_id = _delta_track(
-        k_rmo, ray_pos, ray_dir, t_start, t_max, rmo_ext, max_ext_rmo,
-        clouds_tex, "rmo", active, cfg,
+    rmo_event, rmo_t, rmo_id = _delta_track_rmo(
+        k_rmo, ray_pos, ray_dir, t_start, t_max, extinctions[:, :3],
+        max_ext_rmo, active, cfg,
     )
     if not cfg.enable_clouds:
         return rmo_event, rmo_t, rmo_id
 
     c_start, c_max = intersect_cloud_limits(ray_pos, ray_dir, land_isection)
     cloud_active = active & ((rmo_event == NULL_EVENT) | (rmo_t > c_start))
-    cloud_ext = jnp.zeros_like(extinctions).at[:, 3].set(extinctions[:, 3])
-    c_event, c_t, _ = _delta_track(
-        k_cloud, ray_pos, ray_dir, c_start, c_max, cloud_ext, max_ext_cloud,
-        clouds_tex, "cloud", cloud_active, cfg,
+    c_event, c_t = _track_cloud(
+        k_cloud, ray_pos, ray_dir, c_start, c_max, extinctions[:, 3],
+        max_ext_cloud, atlas.clouds, cloud_active, cfg,
+        mode="delta",
     )
     take = cloud_active & (c_event > NULL_EVENT) & (
         (c_t < rmo_t) | (rmo_event == NULL_EVENT)
@@ -328,39 +535,35 @@ def sample_interaction(
 
 def sample_transmittance(
     key, ray_pos, ray_dir, land_isection, extinctions, max_ext_rmo,
-    max_ext_cloud, clouds_tex, active, cfg: TraceConfig,
+    max_ext_cloud, atlas, active, cfg: TraceConfig,
 ):
     """Transmittance toward the sun: RMO ratio-tracking times cloud
     ratio-tracking (reference pathtracer.py:211-232)."""
     k_rmo, k_cloud = jax.random.split(key)
     t_start, t_max = _rmo_span(ray_pos, ray_dir, land_isection)
-    rmo_ext = extinctions.at[:, 3].set(0.0)
-    trans = _ratio_track(
-        k_rmo, ray_pos, ray_dir, t_start, t_max, rmo_ext, max_ext_rmo,
-        clouds_tex, "rmo", active, cfg,
+    trans = _ratio_track_rmo(
+        k_rmo, ray_pos, ray_dir, t_start, t_max, extinctions[:, :3],
+        max_ext_rmo, active, cfg,
     )
     if not cfg.enable_clouds:
         return trans
     c_start, c_max = intersect_cloud_limits(ray_pos, ray_dir, land_isection)
-    cloud_ext = jnp.zeros_like(extinctions).at[:, 3].set(extinctions[:, 3])
-    trans = trans * _ratio_track(
-        k_cloud, ray_pos, ray_dir, c_start, c_max, cloud_ext, max_ext_cloud,
-        clouds_tex, "cloud", active, cfg,
+    trans = trans * _track_cloud(
+        k_cloud, ray_pos, ray_dir, c_start, c_max, extinctions[:, 3],
+        max_ext_cloud, atlas.clouds, active, cfg,
+        mode="ratio",
     )
     return trans
 
 
-# ---------------------------------------------------------------------------
-# Land material (reference pathtracer.py:284-313)
-# ---------------------------------------------------------------------------
-
-
-def get_land_material(atlas, pos):
+def get_land_material(atlas, pos, bilinear=True):
     """Albedo grading: darken/desaturate greenery, warm the deserts,
     desaturate the ocean, mix by the land-ocean mask
-    (reference pathtracer.py:284-313)."""
-    ocean = tx.sample_sphere_texture(atlas.ocean, pos)
-    albedo_texture_srgb = tx.sample_sphere_texture(atlas.albedo, pos)
+    (reference pathtracer.py:284-313). One packed 8-channel texture fetch
+    replaces the reference's four separate samples."""
+    mat = tx.sample_sphere_texture(atlas.material, pos, bilinear=bilinear)
+    albedo_texture_srgb = mat[..., 0:3]
+    ocean = mat[..., 3]
 
     land_albedo = mu.mix(sp.lum3(albedo_texture_srgb), albedo_texture_srgb, 6.5)
     land_greenery = jnp.power(
@@ -379,8 +582,8 @@ def get_land_material(atlas, pos):
     ocean_albedo = mu.mix(sp.lum3(albedo_texture_srgb), albedo_texture_srgb, 0.75) * 0.9
     albedo_srgb = mu.mix(land_albedo, ocean_albedo, ocean[..., None])
 
-    bathymetry = tx.sample_sphere_texture(atlas.bathymetry, pos)
-    emissive = tx.sample_sphere_texture(atlas.emissive, pos)
+    bathymetry = mat[..., 4]
+    emissive = mat[..., 5]
     return albedo_srgb, ocean, bathymetry, emissive
 
 
@@ -446,7 +649,7 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
         # 2. free-flight sampling (reference pathtracer.py:362-368)
         event, t_int, iid = sample_interaction(
             keys[1], pos, direction, earth, extinctions, max_ext_rmo,
-            max_ext_cloud, atlas.clouds, alive, cfg,
+            max_ext_cloud, atlas, alive, cfg,
         )
         # isotropic multi-scatter fallback (reference pathtracer.py:369-370)
         iid = jnp.where(
@@ -475,8 +678,12 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
         # --- surface lanes (reference pathtracer.py:404-439) ---
         earth_safe = jnp.where(surface, earth, 0.0)
         land_pos = pos + earth_safe[:, None] * direction
-        normal = land_normal(atlas.topography, land_pos, scale)
-        albedo_srgb, ocean, bathymetry, emissive = get_land_material(atlas, land_pos)
+        normal = land_normal(
+            atlas.topography, land_pos, scale, cfg.bilinear_materials
+        )
+        albedo_srgb, ocean, bathymetry, emissive = get_land_material(
+            atlas, land_pos, cfg.bilinear_materials
+        )
         albedo = sp.srgb_to_spectrum(luts.srgb2spec, albedo_srgb, wavelength)
         offset_pos = land_pos * (1.0 + 0.0001 * scale / 12000.0)
         shadow_hit = intersect_land(
@@ -492,7 +699,7 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
         nee_active = vol_nee | sur_nee
         trans = sample_transmittance(
             keys[3], nee_origin, light_dir, jnp.full((n,), -1.0), extinctions,
-            max_ext_rmo, max_ext_cloud, atlas.clouds, nee_active, cfg,
+            max_ext_rmo, max_ext_cloud, atlas, nee_active, cfg,
         )
 
         reduce_peak = bounce > 0
@@ -568,7 +775,7 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
         jnp.sum(scene.light_direction * ray_dir, axis=-1) > scene.sun_cos_angle
     )
     radiance = radiance + jnp.where(sun_hit, sun_power, 0.0)
-    stars_srgb = tx.sample_dir_texture(atlas.stars, ray_dir)
+    stars_srgb = tx.sample_dir_texture(atlas.stars, ray_dir, cfg.bilinear_materials)
     stars_power = sp.srgb_to_spectrum(luts.srgb2spec, stars_srgb, wavelength)
     radiance = radiance + jnp.where(
         primary_miss, stars_power * sun_power * C.STARS_SCALE, 0.0

@@ -1,10 +1,13 @@
 """Test configuration: force the JAX CPU backend with 8 virtual devices so
-multi-chip sharding logic is exercised without TPU hardware (SURVEY.md §4)."""
+multi-chip sharding logic is exercised without TPU hardware (SURVEY.md §4).
+
+Note: the environment may pin JAX_PLATFORMS to a hardware plugin, which
+overrides the env-var route — `jax.config.update` wins, so we use that.
+"""
 
 import os
 
-# Must run before any jax import anywhere in the test session.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be in the environment before the backend initializes.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,4 +16,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)

@@ -3,42 +3,82 @@ import numpy as np
 import pytest
 
 from digital_earth_tpu.assets.procgen import generate_earth_textures
-from digital_earth_tpu.assets.textures import procedural_texture_atlas
+from digital_earth_tpu.assets.textures import build_atlas, procedural_texture_atlas
 from digital_earth_tpu.ops import texture as tx
+
+
+def _tex(arr):
+    return tx.Tex2D.from_array(np.asarray(arr))
+
+
+class TestTex2DLayout:
+    def test_roundtrip_single_channel(self):
+        img = np.arange(32, dtype=np.float32).reshape(4, 8)
+        tex = _tex(img)
+        ys, xs = np.meshgrid(np.arange(4), np.arange(8), indexing="ij")
+        vals = tx._fetch_texel(tex, jnp.asarray(ys.ravel()), jnp.asarray(xs.ravel()))
+        np.testing.assert_allclose(np.asarray(vals)[:, 0], img.ravel())
+
+    def test_roundtrip_multichannel_uint8(self):
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (6, 10, 3), dtype=np.uint8)
+        tex = _tex(img)
+        ys, xs = np.meshgrid(np.arange(6), np.arange(10), indexing="ij")
+        vals = tx._fetch_texel(tex, jnp.asarray(ys.ravel()), jnp.asarray(xs.ravel()))
+        np.testing.assert_allclose(
+            np.asarray(vals), img.reshape(-1, 3) / 255.0, atol=1e-6
+        )
+
+    def test_eight_channel_pack(self):
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 255, (8, 16, 8), dtype=np.uint8)
+        tex = _tex(img)
+        assert tex.texels_per_row == 16
+        vals = tx._fetch_texel(tex, jnp.asarray([3]), jnp.asarray([7]))
+        np.testing.assert_allclose(np.asarray(vals)[0], img[3, 7] / 255.0, atol=1e-6)
 
 
 class TestEquirectSampling:
     def test_constant_texture(self):
-        tex = jnp.full((8, 16), 128, dtype=jnp.uint8)
+        tex = _tex(np.full((8, 16), 128, dtype=np.uint8))
         v = tx.sample_equirect(tex, jnp.array([0.1, 0.5, 0.93]), jnp.array([0.2, 0.5, 0.99]))
         np.testing.assert_allclose(np.asarray(v), 128 / 255, atol=1e-6)
 
     def test_texel_center_exact(self):
-        tex = jnp.arange(32, dtype=jnp.float32).reshape(4, 8)
-        # texel (row 1, col 3) center: u=(3+0.5)/8, v flipped: row = (1-v)*4-0.5 = 1 -> v = 1 - 1.5/4
+        tex = _tex(np.arange(32, dtype=np.float32).reshape(4, 8))
         u = jnp.array((3 + 0.5) / 8)
         v = jnp.array(1.0 - (1 + 0.5) / 4)
-        val = tx.sample_equirect(tex, u, v)
-        assert float(val) == pytest.approx(float(tex[1, 3]))
+        for bilinear in (True, False):
+            val = tx.sample_equirect(tex, u, v, bilinear=bilinear)
+            assert float(val) == pytest.approx(float(np.arange(32).reshape(4, 8)[1, 3]))
 
     def test_u_wraps(self):
-        tex = jnp.arange(16, dtype=jnp.float32).reshape(2, 8)
+        tex = _tex(np.arange(16, dtype=np.float32).reshape(2, 8))
         a = tx.sample_equirect(tex, jnp.array(0.0), jnp.array(0.25))
         b = tx.sample_equirect(tex, jnp.array(1.0), jnp.array(0.25))
         assert float(a) == pytest.approx(float(b), abs=1e-5)
 
     def test_sample_sphere_texture_poles(self):
-        tex = jnp.zeros((8, 16), dtype=jnp.float32).at[0, :].set(1.0)  # north row
-        north = tx.sample_sphere_texture(tex, jnp.array([0.0, 1.0, 0.0]))
-        south = tx.sample_sphere_texture(tex, jnp.array([0.0, -1.0, 0.0]))
-        assert float(north) == pytest.approx(1.0)
-        assert float(south) == pytest.approx(0.0)
+        img = np.zeros((8, 16), dtype=np.float32)
+        img[0, :] = 1.0  # north row
+        tex = _tex(img)
+        north = tx.sample_sphere_texture(tex, jnp.array([[0.0, 1.0, 0.0]]))
+        south = tx.sample_sphere_texture(tex, jnp.array([[0.0, -1.0, 0.0]]))
+        assert float(north[0]) == pytest.approx(1.0)
+        assert float(south[0]) == pytest.approx(0.0)
 
-    def test_batched_shapes(self):
-        tex = jnp.zeros((16, 32, 3), dtype=jnp.uint8)
-        pos = jnp.ones((5, 7, 3))
-        out = tx.sample_sphere_texture(tex, pos)
-        assert out.shape == (5, 7, 3)
+    def test_nearest_matches_bilinear_at_centers(self):
+        rng = np.random.default_rng(2)
+        img = rng.random((16, 32)).astype(np.float32)
+        tex = _tex(img)
+        u = (jnp.arange(32) + 0.5) / 32
+        v = 1.0 - (jnp.arange(16)[:, None] + 0.5) / 16
+        uu = jnp.broadcast_to(u, (16, 32))
+        vv = jnp.broadcast_to(v, (16, 32))
+        a = tx.sample_equirect(tex, uu, vv, bilinear=True)
+        b = tx.sample_equirect(tex, uu, vv, bilinear=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), img, atol=1e-5)
 
 
 class TestProcgen:
@@ -49,7 +89,6 @@ class TestProcgen:
             assert k in t1
             np.testing.assert_array_equal(t1[k], t2[k])
         assert t1["albedo"].shape == (64, 128, 3)
-        assert t1["topography"].shape == (64, 128)
         assert t1["albedo"].dtype == np.uint8
 
     def test_land_fraction_reasonable(self):
@@ -57,7 +96,17 @@ class TestProcgen:
         ocean_frac = (t["ocean"] > 127).mean()
         assert 0.5 < ocean_frac < 0.8
 
-    def test_atlas_loads(self, tmp_path):
-        atlas = procedural_texture_atlas((32, 64), seed=1)
-        assert atlas.albedo.shape == (32, 64, 3)
-        assert atlas.stars.shape == (32, 64, 3)
+    def test_atlas_builds_and_packs(self):
+        t = generate_earth_textures((32, 64), seed=1)
+        atlas = build_atlas(t)
+        assert atlas.material.channels == 8
+        assert atlas.material.h == 32 and atlas.material.w == 64
+        assert atlas.topography.channels == 1
+        assert atlas.stars.channels == 3
+        # packed channels must match the source maps at a texel
+        mat = tx._fetch_texel(atlas.material, jnp.asarray([5]), jnp.asarray([9]))
+        np.testing.assert_allclose(
+            np.asarray(mat)[0, 0:3], t["albedo"][5, 9] / 255.0, atol=1e-6
+        )
+        assert float(mat[0, 3]) == pytest.approx(t["ocean"][5, 9] / 255.0, abs=1e-6)
+        assert float(mat[0, 6]) == pytest.approx(t["topography"][5, 9] / 255.0, abs=1e-6)
