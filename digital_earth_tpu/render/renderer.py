@@ -47,12 +47,18 @@ def _pick_tile_size(total: int, target: int) -> int:
     return best
 
 
-@partial(jax.jit, static_argnames=("image_res", "tile", "cfg"), donate_argnames=("color_buffer",))
+@partial(
+    jax.jit,
+    static_argnames=("image_res", "tile", "cfg", "mode"),
+    donate_argnames=("color_buffer",),
+)
 def _render_step(
     key, color_buffer, cam: CameraParams, scene: SceneParams, atlas, luts,
-    image_res: Tuple[int, int], tile: int, cfg: TraceConfig,
+    image_res: Tuple[int, int], tile: int, cfg: TraceConfig, mode: str = "path",
 ):
-    """Add one spp to the (W, H, 3) accumulation buffer."""
+    """Add one spp to the (W, H, 3) accumulation buffer. ``mode`` selects the
+    integrator: "path" = full spectral path tracing, "preview" = the
+    deterministic single-scatter ray marcher (render/raymarcher.py)."""
     w, h = image_res
     total = w * h
     n_tiles = total // tile
@@ -74,7 +80,12 @@ def _render_step(
         wavelength, response, rcp_pdf = sp.spectrum_sample(
             u, luts.cie_cdf, luts.cie_response
         )
-        radiance = trace_paths(k_tr, pos, dirs, wavelength, scene, atlas, luts, cfg)
+        if mode == "preview":
+            from .raymarcher import march_paths
+
+            radiance = march_paths(k_tr, pos, dirs, wavelength, scene, atlas, luts, cfg)
+        else:
+            radiance = trace_paths(k_tr, pos, dirs, wavelength, scene, atlas, luts, cfg)
         xyz = radiance[:, None] * response * rcp_pdf[:, None]
         return sp.xyz_to_rgb(xyz)
 
@@ -107,11 +118,13 @@ class Renderer:
         seed: int = 0,
         cfg: TraceConfig = TraceConfig(),
         drt: str = "opendrt",
+        mode: str = "path",
     ):
         self.image_res = tuple(image_res)
         self.aspect_ratio = image_res[0] / image_res[1]
         self.cfg = cfg
         self.drt = drt
+        self.mode = mode
         self.atlas = atlas if atlas is not None else load_texture_atlas()
         self.luts = luts if luts is not None else load_spectral_luts()
         self.crf = crf if crf is not None else load_crf_pack()
@@ -201,7 +214,7 @@ class Renderer:
         key = jax.random.fold_in(self._base_key, self.current_spp)
         self.color_buffer = _render_step(
             key, self.color_buffer, self._camera_params(), self._scene_params(),
-            self.atlas, self.luts, self.image_res, self.tile, self.cfg,
+            self.atlas, self.luts, self.image_res, self.tile, self.cfg, self.mode,
         )
         self.current_spp += 1
 

@@ -1,0 +1,197 @@
+"""Statistical equivalence of the accelerated trackers (render/pathtracer)
+against the reference-faithful naive trackers (render/tracking_naive).
+
+These are the tests that license the TPU-side redesigns (speculative K-step
+tracking, cloud space-skipping with fused majorant mips, bracketed marching):
+each accelerated estimator must agree with its naive counterpart within Monte
+Carlo error on controlled inputs (SURVEY.md §4 'statistical tests').
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from digital_earth_tpu import constants as C
+from digital_earth_tpu.assets.luts import load_spectral_luts
+from digital_earth_tpu.assets.procgen import cached_earth_textures
+from digital_earth_tpu.assets.textures import build_atlas
+from digital_earth_tpu.models import volume as vol
+from digital_earth_tpu.render import pathtracer as pt
+from digital_earth_tpu.render import tracking_naive as tn
+from digital_earth_tpu.render.params import TraceConfig
+
+CFG = TraceConfig(max_tracking_steps=4096)
+RES = (128, 256)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    raw = cached_earth_textures(RES, seed=7)
+    atlas = build_atlas(raw)
+    # a direction with heavy cloud and one mostly clear
+    cl = raw["clouds"]
+    ys, xs = np.where(cl > 200)
+    y, x = ys[len(ys) // 2], xs[len(xs) // 2]
+    h, w = cl.shape
+    v = 1.0 - (y + 0.5) / h
+    u = (x + 0.5) / w
+    lat = (v - 0.5) * math.pi
+    lon = (2 * u - 1) * math.pi
+    cloudy_dir = np.array(
+        [-math.cos(lat) * math.cos(lon), math.sin(lat), math.cos(lat) * math.sin(lon)]
+    )
+    return atlas, jnp.asarray(cloudy_dir)
+
+
+def _cloud_spans(origin, direction, reps):
+    o = jnp.broadcast_to(origin, (reps, 3))
+    d = jnp.broadcast_to(direction, (reps, 3))
+    ts, tm = pt.intersect_cloud_limits(o, d, jnp.full(reps, -1.0))
+    return o, d, ts, tm
+
+
+class TestCloudTrackers:
+    def test_delta_collision_distribution(self, setup):
+        atlas, nvec = setup
+        reps = 3000
+        ground = nvec * (C.PLANET_R + 100.0)
+        o, d, ts, tm = _cloud_spans(ground, nvec, reps)
+        ext_w = jnp.full(reps, C.CLOUDS_EXTINCT)
+        act = jnp.ones(reps, bool)
+        e_f, t_f = pt._track_cloud(
+            jax.random.PRNGKey(7), o, d, ts, tm, ext_w,
+            ext_w * C.CLOUDS_DENSITY, atlas.clouds, act, CFG, "delta",
+        )
+        ext4 = jnp.zeros((reps, 4)).at[:, 3].set(C.CLOUDS_EXTINCT)
+        e_n, t_n, _ = tn.delta_track_naive(
+            jax.random.PRNGKey(8), o, d, ts, tm, ext4,
+            ext_w * C.CLOUDS_DENSITY, atlas.clouds, "cloud", act, CFG,
+        )
+        e_f, e_n = np.asarray(e_f), np.asarray(e_n)
+        t_f, t_n = np.asarray(t_f), np.asarray(t_n)
+        p_f, p_n = (e_f > 0).mean(), (e_n > 0).mean()
+        se = np.sqrt(p_n * (1 - p_n) / reps) + 1e-6
+        assert abs(p_f - p_n) < 5 * se + 0.01
+        if (e_f > 0).any() and (e_n > 0).any():
+            m_f, m_n = t_f[e_f > 0].mean(), t_n[e_n > 0].mean()
+            s = t_n[e_n > 0].std() / np.sqrt((e_n > 0).sum()) + 1e-3
+            assert abs(m_f - m_n) < 6 * s + 0.01 * abs(m_n)
+
+    def test_ratio_transmittance_agreement(self, setup):
+        atlas, nvec = setup
+        reps = 1500
+        # slightly tilted so the chord crosses mixed cloud coverage
+        tang = np.cross(np.asarray(nvec), [0.0, 1.0, 0.0])
+        tang = tang / np.linalg.norm(tang)
+        direction = jnp.asarray(
+            (np.asarray(nvec) * 0.6 + tang * 0.8)
+            / np.linalg.norm(np.asarray(nvec) * 0.6 + tang * 0.8)
+        )
+        ground = nvec * (C.PLANET_R + 100.0)
+        o, d, ts, tm = _cloud_spans(ground, direction, reps)
+        ext_w = jnp.full(reps, C.CLOUDS_EXTINCT)
+        act = jnp.ones(reps, bool)
+        t_f = pt._track_cloud(
+            jax.random.PRNGKey(42), o, d, ts, tm, ext_w,
+            ext_w * C.CLOUDS_DENSITY, atlas.clouds, act, CFG, "ratio",
+        )
+        ext4 = jnp.zeros((reps, 4)).at[:, 3].set(C.CLOUDS_EXTINCT)
+        t_n = tn.ratio_track_naive(
+            jax.random.PRNGKey(43), o, d, ts, tm, ext4,
+            ext_w * C.CLOUDS_DENSITY, atlas.clouds, "cloud", act, CFG,
+        )
+        f, nv = np.asarray(t_f), np.asarray(t_n)
+        se = (f.std() + nv.std()) / np.sqrt(reps) + 1e-4
+        assert abs(f.mean() - nv.mean()) < 5 * se
+
+
+class TestRmoTrackers:
+    def _setup_rays(self, reps):
+        up = jnp.array([0.0, 1.0, 0.0])
+        # near-horizontal ray at low altitude: long optically-thick chord
+        d = jnp.array([0.985, 0.17, 0.0])
+        d = d / jnp.linalg.norm(d)
+        o = jnp.broadcast_to(up * (C.PLANET_R + 200.0), (reps, 3))
+        dd = jnp.broadcast_to(d, (reps, 3))
+        wl = jnp.full(reps, 550.0)
+        luts = load_spectral_luts()
+        ext = jnp.stack(
+            [
+                vol.spectra_extinction_rayleigh(wl),
+                vol.spectra_extinction_mie(wl),
+                vol.spectra_extinction_ozone(wl, luts.o3_crossec),
+            ],
+            axis=-1,
+        )
+        max_ext = jnp.sum(ext * pt._MAX_DENS_RMO, axis=-1)
+        ts, tm = pt._rmo_span(o, dd, jnp.full(reps, -1.0))
+        return o, dd, ts, tm, ext, max_ext
+
+    def test_delta_event_distribution(self, setup):
+        atlas, _ = setup
+        reps = 3000
+        o, d, ts, tm, ext, max_ext = self._setup_rays(reps)
+        act = jnp.ones(reps, bool)
+        e_f, t_f, id_f = pt._delta_track_rmo(
+            jax.random.PRNGKey(3), o, d, ts, tm, ext, max_ext, act, CFG
+        )
+        ext4 = jnp.concatenate([ext, jnp.zeros((reps, 1))], axis=-1)
+        e_n, t_n, id_n = tn.delta_track_naive(
+            jax.random.PRNGKey(4), o, d, ts, tm, ext4, max_ext,
+            atlas.clouds, "rmo", act, CFG,
+        )
+        e_f, e_n = np.asarray(e_f), np.asarray(e_n)
+        for ev in (1, 2):
+            p_f, p_n = (e_f == ev).mean(), (e_n == ev).mean()
+            se = np.sqrt(max(p_n * (1 - p_n), 1e-6) / reps)
+            assert abs(p_f - p_n) < 5 * se + 0.01, (ev, p_f, p_n)
+        # species split among events
+        id_f, id_n = np.asarray(id_f)[e_f > 0], np.asarray(id_n)[e_n > 0]
+        h_f = np.bincount(id_f, minlength=3) / max(len(id_f), 1)
+        h_n = np.bincount(id_n, minlength=3) / max(len(id_n), 1)
+        np.testing.assert_allclose(h_f, h_n, atol=0.05)
+
+    def test_ratio_transmittance_agreement(self, setup):
+        atlas, _ = setup
+        reps = 2000
+        o, d, ts, tm, ext, max_ext = self._setup_rays(reps)
+        act = jnp.ones(reps, bool)
+        t_f = pt._ratio_track_rmo(
+            jax.random.PRNGKey(1), o, d, ts, tm, ext, max_ext, act, CFG
+        )
+        ext4 = jnp.concatenate([ext, jnp.zeros((reps, 1))], axis=-1)
+        t_n = tn.ratio_track_naive(
+            jax.random.PRNGKey(2), o, d, ts, tm, ext4, max_ext,
+            atlas.clouds, "rmo", act, CFG,
+        )
+        f, nv = np.asarray(t_f), np.asarray(t_n)
+        se = (f.std() + nv.std()) / np.sqrt(reps) + 1e-4
+        assert abs(f.mean() - nv.mean()) < 5 * se
+
+
+class TestMarchEquivalence:
+    def test_camera_rays_agree(self, setup):
+        atlas, _ = setup
+        n = 512
+        key = jax.random.PRNGKey(0)
+        cam = jnp.array([35963490.0, 12765367.0, -42445899.0])
+        target = jax.random.normal(key, (n, 3)) * 3e6
+        dirs = target - cam
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        pos = jnp.broadcast_to(cam, (n, 3))
+        act = jnp.ones(n, bool)
+        scale = jnp.float32(7800.0)
+        fast = np.asarray(
+            pt.intersect_land(atlas.topography, pos, dirs, scale, act, CFG)
+        )
+        naive = np.asarray(
+            tn.intersect_land_naive(atlas.topography, pos, dirs, scale, act, CFG)
+        )
+        agree = (fast > 0) == (naive > 0)
+        assert agree.mean() > 0.98
+        both = (fast > 0) & (naive > 0)
+        rel = np.abs(fast[both] - naive[both]) / naive[both]
+        assert np.median(rel) < 5e-4
