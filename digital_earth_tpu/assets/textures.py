@@ -89,46 +89,55 @@ class TextureAtlas(NamedTuple):
     stars: Tex2D
 
 
-# Cloud majorant mip geometry: must match render/params.TraceConfig.cloud_seg_len
+# Majorant mip geometry: must match the skip strides in render/pathtracer.py
 CLOUD_MIP_H, CLOUD_MIP_W = 64, 128
 CLOUD_MIP_DILATE_KM = 130.0  # > 2x the 60 km tracking segment length
+TOPO_MIP_DILATE_KM = 130.0  # validity radius of the land-march regional bound
 
 
-def build_cloud_mip(clouds: np.ndarray) -> np.ndarray:
-    """Coarse (64, 128) max-pool of the cloud map, dilated so that the cell
-    containing any point conservatively bounds the texture max within
-    CLOUD_MIP_DILATE_KM of it (latitude-aware in longitude)."""
-    h, w = clouds.shape[:2]
-    c = clouds if clouds.ndim == 2 else clouds[..., 0]
-    c = c.astype(np.float32) / (255.0 if clouds.dtype == np.uint8 else 1.0)
-    # block max to (CLOUD_MIP_H, CLOUD_MIP_W) (pad to multiples first)
-    ph = -h % CLOUD_MIP_H
-    pw = -w % CLOUD_MIP_W
+def build_max_mip(
+    img: np.ndarray,
+    dilate_km: float,
+    mip_h: int = CLOUD_MIP_H,
+    mip_w: int = CLOUD_MIP_W,
+    shell_r: float = 6371e3 + 10e3,
+) -> np.ndarray:
+    """Coarse (mip_h, mip_w) max-pool of a scalar map, dilated so that the
+    cell containing any point conservatively bounds the texture max within
+    ``dilate_km`` of it (latitude-aware in longitude, wrapping)."""
+    h, w = img.shape[:2]
+    mip_h = min(mip_h, h)  # tiny (test-size) maps: one cell per texel at most
+    mip_w = min(mip_w, w)
+    c = img if img.ndim == 2 else img[..., 0]
+    c = c.astype(np.float32) / (255.0 if img.dtype == np.uint8 else 1.0)
+    ph = -h % mip_h
+    pw = -w % mip_w
     cp = np.pad(c, ((0, ph), (0, pw)), mode="edge")
-    bh, bw = cp.shape[0] // CLOUD_MIP_H, cp.shape[1] // CLOUD_MIP_W
-    coarse = cp.reshape(CLOUD_MIP_H, bh, CLOUD_MIP_W, bw).max(axis=(1, 3))
+    bh, bw = cp.shape[0] // mip_h, cp.shape[1] // mip_w
+    coarse = cp.reshape(mip_h, bh, mip_w, bw).max(axis=(1, 3))
 
-    planet_r = 6371e3 + 10e3  # cloud slab top
-    cell_h_km = np.pi * planet_r / CLOUD_MIP_H / 1e3
-    dil_v = int(np.ceil(CLOUD_MIP_DILATE_KM / cell_h_km))
-    # vertical dilation (clamped rows)
+    cell_h_km = np.pi * shell_r / mip_h / 1e3
+    dil_v = int(np.ceil(dilate_km / cell_h_km))
     out = coarse.copy()
     for dv in range(-dil_v, dil_v + 1):
-        shifted = coarse[np.clip(np.arange(CLOUD_MIP_H) + dv, 0, CLOUD_MIP_H - 1)]
+        shifted = coarse[np.clip(np.arange(mip_h) + dv, 0, mip_h - 1)]
         out = np.maximum(out, shifted)
-    # latitude-aware longitudinal dilation (wrapping columns)
-    lat = (0.5 - (np.arange(CLOUD_MIP_H) + 0.5) / CLOUD_MIP_H) * np.pi
-    cell_w_km = 2 * np.pi * planet_r * np.maximum(np.cos(lat), 1e-3) / CLOUD_MIP_W / 1e3
+    lat = (0.5 - (np.arange(mip_h) + 0.5) / mip_h) * np.pi
+    cell_w_km = 2 * np.pi * shell_r * np.maximum(np.cos(lat), 1e-3) / mip_w / 1e3
     dilated = out.copy()
-    for row in range(CLOUD_MIP_H):
-        du = int(np.ceil(CLOUD_MIP_DILATE_KM / cell_w_km[row]))
-        if du >= CLOUD_MIP_W // 2:
+    for row in range(mip_h):
+        du = int(np.ceil(dilate_km / cell_w_km[row]))
+        if du >= mip_w // 2:
             dilated[row, :] = out[row].max()
             continue
         for d in range(1, du + 1):
             dilated[row] = np.maximum(dilated[row], np.roll(out[row], d))
             dilated[row] = np.maximum(dilated[row], np.roll(out[row], -d))
     return dilated
+
+
+def build_cloud_mip(clouds: np.ndarray) -> np.ndarray:
+    return build_max_mip(clouds, CLOUD_MIP_DILATE_KM)
 
 
 def _resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -154,20 +163,23 @@ def build_atlas(arrays: dict) -> TextureAtlas:
         ],
         axis=-1,
     )
-    clouds = arrays["clouds"]
-    if clouds.ndim == 3:
-        clouds = clouds[..., 0]
-    mip = build_cloud_mip(clouds)
-    mip_up = _resize_nearest(
-        (mip * 255.0 + 0.999).clip(0, 255).astype(np.uint8),  # ceil: keep conservative
-        clouds.shape[0],
-        clouds.shape[1],
-    )
-    clouds_fm = np.stack([clouds, mip_up], axis=-1)
+    def with_mip(img, dilate_km):
+        """(H, W, 2) uint8: [fine map, dilated coarse max-mip upsampled],
+        ceil-quantized so the mip stays a conservative upper bound."""
+        if img.ndim == 3:
+            img = img[..., 0]
+        mip = build_max_mip(img, dilate_km)
+        mip_up = _resize_nearest(
+            (mip * 255.0 + 0.999).clip(0, 255).astype(np.uint8),
+            img.shape[0],
+            img.shape[1],
+        )
+        return np.stack([img, mip_up], axis=-1)
+
     return TextureAtlas(
         material=Tex2D.from_array(mat),
-        topography=Tex2D.from_array(arrays["topography"]),
-        clouds=Tex2D.from_array(clouds_fm),
+        topography=Tex2D.from_array(with_mip(arrays["topography"], TOPO_MIP_DILATE_KM)),
+        clouds=Tex2D.from_array(with_mip(arrays["clouds"], CLOUD_MIP_DILATE_KM)),
         stars=Tex2D.from_array(arrays["stars"][..., :3]),
     )
 

@@ -66,9 +66,6 @@ class TraceConfig:
     bilinear_tracking: bool = False
     # Filtering of per-bounce material/stars lookups (reference-faithful).
     bilinear_materials: bool = True
-    # Speculative probes per while-loop iteration: tracking loops draw
-    # ``tracking_k`` free-flight steps per iteration and the land march takes
-    # ``march_k`` SDF probes per iteration — one batched gather each,
-    # amortizing the fixed per-gather-op cost of TPU gathers.
+    # Speculative free-flight steps drawn per tracking-loop iteration (one
+    # batched texture gather resolves all of them).
     tracking_k: int = 4
-    march_k: int = 1

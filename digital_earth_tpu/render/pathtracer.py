@@ -64,10 +64,10 @@ _MAX_DENS_RMO = _np.array(
 
 
 def land_sdf(topo, pos, scale, bilinear=True):
-    """Bump-mapped sphere SDF (reference pathtracer.py:11-14)."""
-    return mu.length(pos) - C.PLANET_R - scale * tx.sample_sphere_texture(
-        topo, pos, bilinear=bilinear
-    )
+    """Bump-mapped sphere SDF (reference pathtracer.py:11-14). ``topo`` is the
+    2-channel (heightmap, dilated max-mip) texture; channel 0 is the height."""
+    sample = tx.sample_sphere_texture(topo, pos, bilinear=bilinear)
+    return mu.length(pos) - C.PLANET_R - scale * sample[..., 0]
 
 
 def land_normal(topo, pos, scale, bilinear=True):
@@ -89,34 +89,40 @@ def land_normal(topo, pos, scale, bilinear=True):
     return mu.normalize(n)
 
 
+# Validity radius of the topography max-mip (assets/textures.TOPO_MIP_DILATE_KM
+# minus margin): a mip tap bounds the displacement within this distance.
+_TOPO_MIP_VALID = 115e3
+
+
 def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig):
-    """Speculative sphere-march against the displaced sphere.
+    """Sphere-march against the displaced sphere with regional analytic skips.
 
     Semantics follow reference pathtracer.py:27-46 (march budget, relative
     epsilon |d| < t*1e-4, hit-if-unconverged-at-cap, 10-planet-radii cap),
-    with wavefront-native accelerations:
+    redesigned for the wavefront:
 
     - analytic cull + bracket: rays missing the bounding sphere of the
       displaced surface (radius planet_r + height_scale) never march; the
-      march starts at the bounding-sphere entry and is declared a miss once
-      it leaves the bounding shell;
-    - speculative multi-probe stepping: each iteration takes K probes spaced
-      by the current SDF value and accepts the longest certified prefix
-      (probe j is reachable iff all previous probes had SDF >= the spacing),
-      so one batched texture fetch advances up to K sphere-trace steps;
-    - a step floor of a quarter texel arc: terrain features narrower than a
-      texel cannot exist, so steps never shrink below what a probe can
-      resolve (this is what bounds grazing shadow-ray marches, which in the
-      reference crawl at the SDF rate until the 250-step cap);
-    - reference-style negative-SDF backtrack: a probe inside the terrain
-      takes a single retreating step, oscillating onto the boundary.
+      march starts at the bounding-sphere entry and is a miss once the ray
+      leaves the bounding shell;
+    - regional skips: each tap of the 2-channel topography texture also
+      returns a dilated coarse max of the heightmap. Within the mip's
+      validity radius the terrain lies below radius planet_r +
+      scale*mip_max, so the ray may safely advance to its analytic
+      intersection with that sphere (or the full validity radius when it
+      misses). Grazing limb rays over ocean advance ~100 km per tap instead
+      of crawling at SDF scale — this is what bounds the march, which
+      otherwise costs ~200 taps per bounce for limb/shadow rays;
+    - a step floor of a quarter texel arc (features narrower than a texel
+      cannot exist in the bilinear heightfield);
+    - reference-style negative-SDF backtrack (a probe inside the terrain
+      retreats by its SDF, oscillating onto the boundary).
 
     Returns hit distance, -1.0 on miss.
     """
     n = pos.shape[0]
     if not cfg.enable_land:
         return jnp.full((n,), -1.0)
-    k = cfg.march_k
     step_floor = math.pi * C.PLANET_R / topo.w * 0.25  # quarter-texel arc
 
     bound_near, bound_far = mu.rsi(pos, direction, C.PLANET_R + scale)
@@ -125,44 +131,43 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig):
     max_ray_dist = C.PLANET_R * 10.0
     miss_beyond = jnp.minimum(bound_far + 1.0, max_ray_dist)
 
-    f0 = land_sdf(
-        topo, pos + t0[:, None] * direction, scale, cfg.bilinear_tracking
-    )
-    hit0 = may_hit & (jnp.abs(f0) < t0 * 1e-4)
-    done0 = (~may_hit) | hit0
-    offs = jnp.arange(1, k + 1, dtype=jnp.float32)[:, None]  # (k, 1)
-    arange_k = jnp.arange(k)[:, None]
-
     def cond(s):
-        i, _, _, done, _ = s
+        i, _, done, _ = s
         return (i < cfg.land_march_steps) & jnp.any(~done)
 
-    def body(s):
-        i, t, f_cur, done, missed = s
-        neg = f_cur < 0.0
-        step = jnp.where(neg, f_cur, jnp.maximum(f_cur, step_floor))
-        ts = t[None, :] + offs * step[None, :]  # (k, n)
-        probe_pos = pos[None, :, :] + ts[..., None] * direction[None, :, :]
-        f_k = land_sdf(topo, probe_pos, scale, cfg.bilinear_tracking)  # (k, n)
-        # certified prefix: probe j reachable iff probes before it had f >= step
-        ok = f_k >= step[None, :]
-        reach = jnp.cumprod(
-            jnp.concatenate([jnp.ones((1, n), bool), ok[:-1]], axis=0), axis=0
-        ).astype(bool)
-        adv = jnp.where(neg, 1, jnp.sum(reach, axis=0))  # in [1, k]
-        pick = (arange_k == (adv - 1)[None, :]).astype(f_k.dtype)
-        t_new = t + adv * step
-        f_new = jnp.sum(f_k * pick, axis=0)
-        converged = jnp.abs(f_new) < t_new * 1e-4
+    def substep(t, done, missed):
+        ro = pos + t[:, None] * direction
+        sample = tx.sample_sphere_texture(topo, ro, bilinear=cfg.bilinear_tracking)
+        f = mu.length(ro) - C.PLANET_R - scale * sample[..., 0]
+        # regional analytic skip against the mip-bound sphere
+        r_bound = C.PLANET_R + scale * sample[..., 1]
+        b_near, b_far = mu.rsi(ro, direction, r_bound)
+        s_region = jnp.where(
+            b_near > 0.0,
+            jnp.minimum(b_near, _TOPO_MIP_VALID),
+            jnp.where(b_far < 0.0, _TOPO_MIP_VALID, 0.0),
+        )
+        step = jnp.where(
+            f < 0.0, f, jnp.maximum(jnp.maximum(f, s_region), step_floor)
+        )
+        t_new = t + step
+        converged = jnp.abs(f) < t * 1e-4
         out = t_new > miss_beyond
-        t = jnp.where(done, t, t_new)
-        f_cur = jnp.where(done, f_cur, f_new)
-        missed = missed | ((~done) & out)
+        missed = missed | ((~done) & out & ~converged)
+        t = jnp.where(done | converged, t, t_new)
         done = done | converged | out
-        return i + 1, t, f_cur, done, missed
+        return t, done, missed
 
-    _, t, _, _, missed = jax.lax.while_loop(
-        cond, body, (0, t0, f0, done0, ~may_hit)
+    def body(s):
+        i, t, done, missed = s
+        # 2 sequential steps per while iteration: halves the loop-condition
+        # reduction and loop bookkeeping, which dominate at small tiles
+        t, done, missed = substep(t, done, missed)
+        t, done, missed = substep(t, done, missed)
+        return i + 2, t, done, missed
+
+    _, t, _, missed = jax.lax.while_loop(
+        cond, body, (0, t0, ~may_hit, ~may_hit)
     )
     # reference semantics: anything that neither left the shell nor exceeded
     # the cap distance counts as a hit (pathtracer.py:46)

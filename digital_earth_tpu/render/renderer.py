@@ -47,28 +47,62 @@ def _pick_tile_size(total: int, target: int) -> int:
     return best
 
 
+def _pick_block_dims(w: int, h: int, target: int) -> Tuple[int, int]:
+    """Near-square (bw, bh) with bw | w, bh | h and bw*bh <= target.
+
+    Tiles are rectangular pixel blocks rather than flat spans: rays in a
+    block are spatially coherent, so whole sky blocks exit the bounce loop
+    immediately and only blocks that actually contain the planet limb pay
+    the worst-case march/tracking iteration counts. This is the wavefront
+    counterpart of the reference's 16x8 block-interleaved framebuffer
+    (reference renderer.py:43-46), used for coherence instead of
+    divergence-hiding.
+    """
+    divs_w = [d for d in range(1, w + 1) if w % d == 0]
+    divs_h = [d for d in range(1, h + 1) if h % d == 0]
+    best = (1, 1)
+    best_score = -1.0
+    for bw in divs_w:
+        for bh in divs_h:
+            n = bw * bh
+            if n > target:
+                continue
+            squareness = min(bw, bh) / max(bw, bh)
+            score = n * (0.5 + 0.5 * squareness)
+            if score > best_score:
+                best_score = score
+                best = (bw, bh)
+    return best
+
+
 @partial(
     jax.jit,
-    static_argnames=("image_res", "tile", "cfg", "mode"),
+    static_argnames=("image_res", "block", "cfg", "mode"),
     donate_argnames=("color_buffer",),
 )
 def _render_step(
     key, color_buffer, cam: CameraParams, scene: SceneParams, atlas, luts,
-    image_res: Tuple[int, int], tile: int, cfg: TraceConfig, mode: str = "path",
+    image_res: Tuple[int, int], block: Tuple[int, int], cfg: TraceConfig,
+    mode: str = "path",
 ):
     """Add one spp to the (W, H, 3) accumulation buffer. ``mode`` selects the
     integrator: "path" = full spectral path tracing, "preview" = the
-    deterministic single-scatter ray marcher (render/raymarcher.py)."""
+    deterministic single-scatter ray marcher (render/raymarcher.py). Tiles
+    are (bw, bh) pixel blocks (see _pick_block_dims)."""
     w, h = image_res
-    total = w * h
-    n_tiles = total // tile
+    bw, bh = block
+    tile = bw * bh
+    nbx, nby = w // bw, h // bh
+    n_tiles = nbx * nby
 
     def render_tile(tile_idx):
         tkey = jax.random.fold_in(key, tile_idx)
         k_jit_u, k_jit_v, k_wl, k_tr = jax.random.split(tkey, 4)
-        flat = tile_idx * tile + jnp.arange(tile)
-        pu = (flat // h).astype(jnp.float32)
-        pv = (flat % h).astype(jnp.float32)
+        bx = tile_idx // nby
+        by = tile_idx % nby
+        lane = jnp.arange(tile)
+        pu = (bx * bw + lane // bh).astype(jnp.float32)
+        pv = (by * bh + lane % bh).astype(jnp.float32)
         dirs = cast_dirs(
             cam, pu, pv,
             jax.random.uniform(k_jit_u, (tile,)),
@@ -90,7 +124,12 @@ def _render_step(
         return sp.xyz_to_rgb(xyz)
 
     tiles = jax.lax.map(render_tile, jnp.arange(n_tiles))
-    frame = tiles.reshape(w, h, 3)
+    # (nbx*nby, bw*bh, 3) -> (W, H, 3)
+    frame = (
+        tiles.reshape(nbx, nby, bw, bh, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(w, h, 3)
+    )
     return color_buffer + frame
 
 
@@ -114,7 +153,7 @@ class Renderer:
         atlas: Optional[TextureAtlas] = None,
         luts: Optional[SpectralLUTs] = None,
         crf: Optional[CRFPack] = None,
-        tile_pixels: int = 65536,
+        tile_pixels: int = 1600,
         seed: int = 0,
         cfg: TraceConfig = TraceConfig(),
         drt: str = "opendrt",
@@ -130,8 +169,8 @@ class Renderer:
         self.crf = crf if crf is not None else load_crf_pack()
         self.crf_names = list(self.crf.names)
 
-        total = image_res[0] * image_res[1]
-        self.tile = _pick_tile_size(total, tile_pixels)
+        self.block = _pick_block_dims(image_res[0], image_res[1], tile_pixels)
+        self.tile = self.block[0] * self.block[1]
 
         # Host-side scalar state, mirroring reference defaults
         # (renderer.py:49-58)
@@ -214,7 +253,7 @@ class Renderer:
         key = jax.random.fold_in(self._base_key, self.current_spp)
         self.color_buffer = _render_step(
             key, self.color_buffer, self._camera_params(), self._scene_params(),
-            self.atlas, self.luts, self.image_res, self.tile, self.cfg, self.mode,
+            self.atlas, self.luts, self.image_res, self.block, self.cfg, self.mode,
         )
         self.current_spp += 1
 

@@ -101,8 +101,19 @@ class TestProcgen:
         atlas = build_atlas(t)
         assert atlas.material.channels == 8
         assert atlas.material.h == 32 and atlas.material.w == 64
-        assert atlas.topography.channels == 1
+        # topography and clouds carry (fine, dilated-max-mip) channel pairs
+        assert atlas.topography.channels == 2
+        assert atlas.clouds.channels == 2
         assert atlas.stars.channels == 3
+        # the mip channel is a conservative upper bound of the fine channel
+        for tex, src in ((atlas.topography, t["topography"]), (atlas.clouds, t["clouds"])):
+            ys, xs = np.meshgrid(np.arange(32), np.arange(64), indexing="ij")
+            vals = tx._fetch_texel(
+                tex, jnp.asarray(ys.ravel()), jnp.asarray(xs.ravel())
+            )
+            vals = np.asarray(vals)
+            assert (vals[:, 1] >= vals[:, 0] - 1e-6).all()
+            np.testing.assert_allclose(vals[:, 0], src.ravel() / 255.0, atol=1e-6)
         # packed channels must match the source maps at a texel
         mat = tx._fetch_texel(atlas.material, jnp.asarray([5]), jnp.asarray([9]))
         np.testing.assert_allclose(
