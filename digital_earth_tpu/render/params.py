@@ -69,3 +69,7 @@ class TraceConfig:
     # Speculative free-flight steps drawn per tracking-loop iteration (one
     # batched texture gather resolves all of them).
     tracking_k: int = 4
+    # Reference-faithful mode: one-step global-majorant trackers and the
+    # plain sphere march (render/tracking_naive.py) instead of the
+    # accelerated implementations. Slower; for parity checks and debugging.
+    naive_tracking: bool = False

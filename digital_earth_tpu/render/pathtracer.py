@@ -37,6 +37,7 @@ from ..ops import sampling as smp
 from ..ops import spectral as sp
 from ..ops import texture as tx
 from .params import SceneParams, TraceConfig
+from . import tracking_naive as tn
 
 NULL_EVENT = 0
 ABSORB_EVENT = 1
@@ -515,20 +516,34 @@ def sample_interaction(
     nearer event wins (reference pathtracer.py:172-207)."""
     k_rmo, k_cloud = jax.random.split(key)
     t_start, t_max = _rmo_span(ray_pos, ray_dir, land_isection)
-    rmo_event, rmo_t, rmo_id = _delta_track_rmo(
-        k_rmo, ray_pos, ray_dir, t_start, t_max, extinctions[:, :3],
-        max_ext_rmo, active, cfg,
-    )
+    if cfg.naive_tracking:
+        ext4 = extinctions.at[:, 3].set(0.0)
+        rmo_event, rmo_t, rmo_id = tn.delta_track_naive(
+            k_rmo, ray_pos, ray_dir, t_start, t_max, ext4, max_ext_rmo,
+            atlas.clouds, "rmo", active, cfg,
+        )
+    else:
+        rmo_event, rmo_t, rmo_id = _delta_track_rmo(
+            k_rmo, ray_pos, ray_dir, t_start, t_max, extinctions[:, :3],
+            max_ext_rmo, active, cfg,
+        )
     if not cfg.enable_clouds:
         return rmo_event, rmo_t, rmo_id
 
     c_start, c_max = intersect_cloud_limits(ray_pos, ray_dir, land_isection)
     cloud_active = active & ((rmo_event == NULL_EVENT) | (rmo_t > c_start))
-    c_event, c_t = _track_cloud(
-        k_cloud, ray_pos, ray_dir, c_start, c_max, extinctions[:, 3],
-        max_ext_cloud, atlas.clouds, cloud_active, cfg,
-        mode="delta",
-    )
+    if cfg.naive_tracking:
+        cloud_ext = jnp.zeros_like(extinctions).at[:, 3].set(extinctions[:, 3])
+        c_event, c_t, _ = tn.delta_track_naive(
+            k_cloud, ray_pos, ray_dir, c_start, c_max, cloud_ext,
+            max_ext_cloud, atlas.clouds, "cloud", cloud_active, cfg,
+        )
+    else:
+        c_event, c_t = _track_cloud(
+            k_cloud, ray_pos, ray_dir, c_start, c_max, extinctions[:, 3],
+            max_ext_cloud, atlas.clouds, cloud_active, cfg,
+            mode="delta",
+        )
     take = cloud_active & (c_event > NULL_EVENT) & (
         (c_t < rmo_t) | (rmo_event == NULL_EVENT)
     )
@@ -546,18 +561,32 @@ def sample_transmittance(
     ratio-tracking (reference pathtracer.py:211-232)."""
     k_rmo, k_cloud = jax.random.split(key)
     t_start, t_max = _rmo_span(ray_pos, ray_dir, land_isection)
-    trans = _ratio_track_rmo(
-        k_rmo, ray_pos, ray_dir, t_start, t_max, extinctions[:, :3],
-        max_ext_rmo, active, cfg,
-    )
+    if cfg.naive_tracking:
+        ext4 = extinctions.at[:, 3].set(0.0)
+        trans = tn.ratio_track_naive(
+            k_rmo, ray_pos, ray_dir, t_start, t_max, ext4, max_ext_rmo,
+            atlas.clouds, "rmo", active, cfg,
+        )
+    else:
+        trans = _ratio_track_rmo(
+            k_rmo, ray_pos, ray_dir, t_start, t_max, extinctions[:, :3],
+            max_ext_rmo, active, cfg,
+        )
     if not cfg.enable_clouds:
         return trans
     c_start, c_max = intersect_cloud_limits(ray_pos, ray_dir, land_isection)
-    trans = trans * _track_cloud(
-        k_cloud, ray_pos, ray_dir, c_start, c_max, extinctions[:, 3],
-        max_ext_cloud, atlas.clouds, active, cfg,
-        mode="ratio",
-    )
+    if cfg.naive_tracking:
+        cloud_ext = jnp.zeros_like(extinctions).at[:, 3].set(extinctions[:, 3])
+        trans = trans * tn.ratio_track_naive(
+            k_cloud, ray_pos, ray_dir, c_start, c_max, cloud_ext,
+            max_ext_cloud, atlas.clouds, "cloud", active, cfg,
+        )
+    else:
+        trans = trans * _track_cloud(
+            k_cloud, ray_pos, ray_dir, c_start, c_max, extinctions[:, 3],
+            max_ext_cloud, atlas.clouds, active, cfg,
+            mode="ratio",
+        )
     return trans
 
 
@@ -628,6 +657,8 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
 
     light_direction = jnp.broadcast_to(scene.light_direction, (n, 3))
 
+    _march = tn.intersect_land_naive if cfg.naive_tracking else intersect_land
+
     def cond(state):
         bounce = state[0]
         alive = state[6]
@@ -649,7 +680,7 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
         key = keys[0]
 
         # 1. land intersection (reference pathtracer.py:359)
-        earth = intersect_land(atlas.topography, pos, direction, scale, alive, cfg)
+        earth = _march(atlas.topography, pos, direction, scale, alive, cfg)
 
         # 2. free-flight sampling (reference pathtracer.py:362-368)
         event, t_int, iid = sample_interaction(
@@ -691,7 +722,7 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
         )
         albedo = sp.srgb_to_spectrum(luts.srgb2spec, albedo_srgb, wavelength)
         offset_pos = land_pos * (1.0 + 0.0001 * scale / 12000.0)
-        shadow_hit = intersect_land(
+        shadow_hit = _march(
             atlas.topography, offset_pos, light_dir, scale, surface, cfg
         )
         sur_vis = shadow_hit < 0.0
