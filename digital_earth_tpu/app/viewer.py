@@ -109,6 +109,10 @@ class EarthViewer:
         self.screenshot_dir = screenshot_dir
         self.port = port
         self._lock = threading.Lock()
+        # serializes accumulate() against frame fetches: the accumulation
+        # buffer is donated to the jitted step, so reading it mid-step would
+        # hit a deleted array
+        self._render_lock = threading.Lock()
         self._pending_keys = set()
         self._pending_rot = [0.0, 0.0]
         self._paths_per_sec = 0.0
@@ -133,15 +137,19 @@ class EarthViewer:
 
         ts = datetime.today().strftime("%Y-%m-%d-%H%M%S")
         fname = os.path.join(self.screenshot_dir, f"earth-{ts}.png")
-        Image.fromarray(self.renderer.fetch_image_np()).save(fname)
+        with self._render_lock:
+            img = self.renderer.fetch_image_np()
+        Image.fromarray(img).save(fname)
         print(f"Screenshot has been saved to {fname}")
         return fname
 
     def _frame_png(self) -> bytes:
         from PIL import Image
 
+        with self._render_lock:
+            img = self.renderer.fetch_image_np()
         buf = io.BytesIO()
-        Image.fromarray(self.renderer.fetch_image_np()).save(buf, format="PNG")
+        Image.fromarray(img).save(buf, format="PNG")
         return buf.getvalue()
 
     def _state(self) -> dict:
@@ -191,12 +199,13 @@ class EarthViewer:
                 self._pending_rot = [0.0, 0.0]
             moved = self.camera.update_keys(keys, elapsed)
             moved = self.camera.rotate(dx, dy) or moved
-            if moved:
-                self.camera.push_to(self.renderer)
-                self.renderer.reset_framebuffer()
             t0 = time.time()
-            self.renderer.accumulate()
-            np.asarray(self.renderer.color_buffer)  # sync
+            with self._render_lock:
+                if moved:
+                    self.camera.push_to(self.renderer)
+                    self.renderer.reset_framebuffer()
+                self.renderer.accumulate()
+                np.asarray(self.renderer.color_buffer)  # sync
             elapsed = max(time.time() - t0, 1e-4)
             self._paths_per_sec = n_pixels / elapsed
 
@@ -211,6 +220,14 @@ class EarthViewer:
                 pass
 
             def do_GET(self):
+                try:
+                    self._route()
+                except (ValueError, KeyError, IndexError) as e:
+                    self.send_error(400, str(e))
+                except BrokenPipeError:
+                    pass
+
+            def _route(self):
                 url = urlparse(self.path)
                 q = parse_qs(url.query)
                 if url.path == "/":
@@ -228,13 +245,16 @@ class EarthViewer:
                         viewer._pending_rot[1] += float(q.get("dy", [0])[0])
                     body, ctype = b"ok", "text/plain"
                 elif url.path == "/set":
-                    if viewer._apply_set(q):
-                        viewer.renderer.reset_framebuffer()
+                    with viewer._render_lock:
+                        if viewer._apply_set(q):
+                            viewer.renderer.reset_framebuffer()
                     body, ctype = b"ok", "text/plain"
                 elif url.path == "/save":
                     viewer.save(); body, ctype = b"saved", "text/plain"
                 elif url.path == "/load":
-                    viewer.load(); body, ctype = b"loaded", "text/plain"
+                    with viewer._render_lock:
+                        viewer.load()
+                    body, ctype = b"loaded", "text/plain"
                 elif url.path == "/screenshot":
                     body, ctype = viewer.screenshot().encode(), "text/plain"
                 else:

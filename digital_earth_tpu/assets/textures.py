@@ -90,7 +90,7 @@ class TextureAtlas(NamedTuple):
 
 
 # Majorant mip geometry: must match the skip strides in render/pathtracer.py
-CLOUD_MIP_H, CLOUD_MIP_W = 64, 128
+CLOUD_MIP_H, CLOUD_MIP_W = 128, 256
 CLOUD_MIP_DILATE_KM = 130.0  # > 2x the 60 km tracking segment length
 TOPO_MIP_DILATE_KM = 130.0  # validity radius of the land-march regional bound
 

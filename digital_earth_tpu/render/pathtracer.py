@@ -712,20 +712,50 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
         vol_nee = scatter & ~vol_occluded
 
         # --- surface lanes (reference pathtracer.py:404-439) ---
-        earth_safe = jnp.where(surface, earth, 0.0)
-        land_pos = pos + earth_safe[:, None] * direction
-        normal = land_normal(
-            atlas.topography, land_pos, scale, cfg.bilinear_materials
+        # All surface work (material gathers, normals, shadow march, BRDFs)
+        # is gated on any lane actually hitting land this bounce: sky/cloud
+        # tiles and later volumetric bounces skip ~20 texture gathers.
+        u_h = jax.random.uniform(keys[5], (2, n))
+
+        def surface_work(_):
+            earth_safe = jnp.where(surface, earth, 0.0)
+            land_pos = pos + earth_safe[:, None] * direction
+            normal = land_normal(
+                atlas.topography, land_pos, scale, cfg.bilinear_materials
+            )
+            albedo_srgb, ocean, bathymetry, emissive = get_land_material(
+                atlas, land_pos, cfg.bilinear_materials
+            )
+            albedo = sp.srgb_to_spectrum(luts.srgb2spec, albedo_srgb, wavelength)
+            offset_pos = land_pos * (1.0 + 0.0001 * scale / 12000.0)
+            shadow_hit = _march(
+                atlas.topography, offset_pos, light_dir, scale, surface, cfg
+            )
+            sur_vis = shadow_hit < 0.0
+            # direct term (reference pathtracer.py:431-432)
+            d_brdf, d_ndl = srf.earth_brdf(
+                albedo, ocean, bathymetry, -direction, normal, light_dir
+            )
+            # bounce continuation (reference pathtracer.py:434-439)
+            hemi_dir = smp.sample_hemisphere_cosine_weighted(u_h[0], u_h[1], normal)
+            b_brdf, _ = srf.earth_brdf(
+                albedo, ocean, bathymetry, -direction, normal, hemi_dir
+            )
+            return offset_pos, sur_vis, emissive, d_brdf * d_ndl, hemi_dir, b_brdf
+
+        def surface_skip(_):
+            return (
+                pos,
+                jnp.zeros((n,), bool),
+                jnp.zeros((n,)),
+                jnp.zeros((n,)),
+                jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), (n, 3)),
+                jnp.zeros((n,)),
+            )
+
+        offset_pos, sur_vis, emissive, d_term, hemi_dir, b_brdf = jax.lax.cond(
+            jnp.any(surface), surface_work, surface_skip, None
         )
-        albedo_srgb, ocean, bathymetry, emissive = get_land_material(
-            atlas, land_pos, cfg.bilinear_materials
-        )
-        albedo = sp.srgb_to_spectrum(luts.srgb2spec, albedo_srgb, wavelength)
-        offset_pos = land_pos * (1.0 + 0.0001 * scale / 12000.0)
-        shadow_hit = _march(
-            atlas.topography, offset_pos, light_dir, scale, surface, cfg
-        )
-        sur_vis = shadow_hit < 0.0
         sur_nee = surface & sur_vis
 
         # merged NEE transmittance: one ratio-tracking pass serves both the
@@ -748,22 +778,14 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
         radiance = radiance + jnp.where(
             surface, throughput * emissive * nightlights_power, 0.0
         )
-        d_brdf, d_ndl = srf.earth_brdf(
-            albedo, ocean, bathymetry, -direction, normal, light_dir
-        )
         radiance = radiance + jnp.where(
-            sur_nee, throughput * trans * sun_irradiance * d_brdf * d_ndl, 0.0
+            sur_nee, throughput * trans * sun_irradiance * d_term, 0.0
         )
 
         # --- continue the path (reference pathtracer.py:397-401, 434-439) ---
         u_ph = jax.random.uniform(keys[4], (3, n))
         phase_dir, phase_w = vol.sample_phase_dirs(
             u_ph[0], u_ph[1], u_ph[2], direction, iid, reduce_peak
-        )
-        u_h = jax.random.uniform(keys[5], (2, n))
-        hemi_dir = smp.sample_hemisphere_cosine_weighted(u_h[0], u_h[1], normal)
-        b_brdf, _ = srf.earth_brdf(
-            albedo, ocean, bathymetry, -direction, normal, hemi_dir
         )
 
         new_dir = jnp.where(
