@@ -115,6 +115,39 @@ def beckmann_specular(roughness, f0, n_dot_l, n_dot_v, l_dot_h, n_dot_h):
     return d * v * f
 
 
+def earth_brdf_parts(oceanness, bathymetry, v, n, l):
+    """Albedo-independent decomposition of earth_brdf: returns
+    (diffuse_term, specular_term, n_dot_l) with
+    brdf = albedo * diffuse_term + specular_term. The full BRDF is linear in
+    the (spectral) albedo, so a hero-wavelength packet evaluates the
+    geometry once and combines per wavelength."""
+    h = normalize(v + l)
+    n_dot_l = saturate(dot(n, l))
+    n_dot_v = saturate(dot(n, v))
+    l_dot_h = saturate(dot(l, h))
+    n_dot_h = saturate(dot(n, h))
+
+    ocean_roughness = mix(0.23 + 0.02, 0.23 - 0.04, smoothstep(0.3, 0.7, bathymetry))
+    diffuse = disney_diffuse(LAND_ROUGHNESS, n_dot_l, n_dot_v, l_dot_h)
+    land_specular = ggx_smith_specular(
+        LAND_ROUGHNESS, LAND_F0, n_dot_l, n_dot_v, l_dot_h, n_dot_h
+    )
+    ocean_specular_ggx = ggx_smith_specular(
+        ocean_roughness, OCEAN_F0, n_dot_l, n_dot_v, l_dot_h, n_dot_h
+    )
+    ocean_specular_beckmann = 0.65 * beckmann_specular(
+        ocean_roughness, OCEAN_F0, n_dot_l, n_dot_v, l_dot_h, n_dot_h
+    )
+    ocean_specular = mix(
+        ocean_specular_beckmann,
+        ocean_specular_ggx,
+        jnp.clip(smoothstep(0.2, 0.95, n_dot_v), 0.05, 0.94),
+    )
+    specular_blender = smoothstep(0.6, 1.0, oceanness)
+    specular = mix(land_specular, ocean_specular, specular_blender) * SPECULAR_FACTOR
+    return diffuse * DIFFUSE_FACTOR, specular, n_dot_l
+
+
 def earth_brdf(albedo, oceanness, bathymetry, v, n, l):
     """Full Earth surface BRDF (reference surface_rendering_models.py:10-37).
 

@@ -85,6 +85,47 @@ def spectrum_sample(u, cie_cdf, cie_response):
     return wavelength, response, rcp_pdf
 
 
+def spectrum_sample_hero(u, cie_cdf, cie_response, n_lambdas: int = 4):
+    """Hero-wavelength packet sampling (Wilkie et al. 2014).
+
+    One hero wavelength is drawn by CIE inverse-CDF (as spectrum_sample);
+    n_lambdas-1 companions are equal-spaced rotations of the spectral domain.
+    Rotation preserves measure, so MIS over "which index is hero" with the
+    balance heuristic makes the packet estimator unbiased; the tracker keeps
+    the per-lambda pdf-ratio weights (see render/pathtracer.trace_paths).
+
+    Returns (wavelengths (..., L), responses (..., L, 3), lambda_pdf (..., L))
+    where lambda_pdf[j] is the probability density of lambda_j under the CIE
+    sampler — the p_lambda terms of the MIS denominator.
+    """
+    res = cie_cdf.shape[0]
+    g = saturate(jnp.mean(cie_cdf, axis=-1))
+    idx = jnp.clip(jnp.searchsorted(g, u, side="left"), 1, res - 1)
+    g0 = g[idx - 1]
+    g1 = g[idx]
+    frac = jnp.where(g1 > g0, (u - g0) / jnp.maximum(g1 - g0, 1e-12), 0.5)
+    mid = ((idx - 1).astype(jnp.float32) + 0.5 + saturate(frac)) / res
+
+    shifts = jnp.arange(n_lambdas, dtype=jnp.float32) / n_lambdas
+    mids = jnp.mod(mid[..., None] + shifts, 1.0)  # (..., L)
+    wavelengths = 390.0 + 441.0 * mids
+
+    x = mids * res - 0.5
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, res - 1)
+    x1 = jnp.clip(x0 + 1, 0, res - 1)
+    t = (x - x0.astype(jnp.float32))[..., None]
+    responses = cie_response[x0] * (1.0 - t) + cie_response[x1] * t  # (...,L,3)
+
+    # p_lambda(lambda_j): density of the CIE sampler at each packet member.
+    # The sampler draws `mid` with density g'(mid) = mean-response(mid)/S
+    # per unit mid; the same density function evaluated at every member.
+    rgb_cmf_max = cie_cdf[res - 1]
+    pdf = dot(responses, rgb_cmf_max)  # = sum of channel responses
+    ok = (pdf > 1e-3) & jnp.isfinite(pdf)
+    lambda_pdf = jnp.where(ok, pdf, 0.0)
+    return wavelengths, responses, lambda_pdf
+
+
 def srgb_to_spectrum(lut, rgb, wavelength):
     """Spectral power of an sRGB triple at ``wavelength`` via a 300-bin
     (400-700 nm) basis LUT, reproducing the reference exactly — including its

@@ -66,9 +66,14 @@ def _tile_colors(key, cam, scene, atlas, luts, pixel_flat, image_res, cfg):
     )
     pos = jnp.broadcast_to(cam.position, (n, 3))
     u = jax.random.uniform(k_wl, (n,))
-    wavelength, response, rcp_pdf = sp.spectrum_sample(u, luts.cie_cdf, luts.cie_response)
-    radiance = trace_paths(k_tr, pos, dirs, wavelength, scene, atlas, luts, cfg)
-    return sp.xyz_to_rgb(radiance[:, None] * response * rcp_pdf[:, None])
+    wavelengths, responses, lambda_pdf = sp.spectrum_sample_hero(
+        u, luts.cie_cdf, luts.cie_response, cfg.hero_lambdas
+    )
+    radiance = trace_paths(
+        k_tr, pos, dirs, wavelengths, scene, atlas, luts, cfg,
+        lambda_pdf=lambda_pdf,
+    )
+    return sp.xyz_to_rgb(jnp.einsum("nl,nlc->nc", radiance, responses))
 
 
 def make_sharded_render_step(

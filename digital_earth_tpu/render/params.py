@@ -69,6 +69,11 @@ class TraceConfig:
     # Speculative free-flight steps drawn per tracking-loop iteration (one
     # batched texture gather resolves all of them).
     tracking_k: int = 4
+    # Hero-wavelength packet size: wavelengths traced per path (Wilkie et al.
+    # 2014 spectral MIS). 1 = the reference's single-wavelength estimator;
+    # 4 amortizes the path's geometry/tracking over 4 spectral samples,
+    # collapsing chroma noise for ~1.2x the cost.
+    hero_lambdas: int = 4
     # Reference-faithful mode: one-step global-majorant trackers and the
     # plain sphere march (render/tracking_naive.py) instead of the
     # accelerated implementations. Slower; for parity checks and debugging.

@@ -213,9 +213,19 @@ def _delta_track_rmo(
     """Woodcock/delta tracking of a free-flight interaction with the
     Rayleigh/Mie/ozone gases (reference pathtracer.py:77-115; purely analytic
     densities — no texture access). Each loop iteration draws K speculative
-    free-flight steps at once and resolves the first terminal one, amortizing
-    the per-iteration cost K-fold. Returns (event, t, interaction_id)."""
+    free-flight steps at once and resolves the first terminal one.
+
+    Hero-wavelength aware: ``extinctions`` is (n, L, 3); sampling decisions
+    (distances, species, scatter-vs-absorb) are driven by the hero wavelength
+    (index 0), whose extinction ``max_extinction`` must majorize every packet
+    member. Returns (event, t, interaction_id, w_mult) where w_mult (n, L)
+    is the product of per-collision pdf ratios p(event | lambda_j)/p(event |
+    lambda_hero) — the Wilkie-style spectral MIS weight update (null
+    collisions contribute (1-sigma_j/maj)/(1-sigma_h/maj); a real collision
+    contributes sigma_species_j/sigma_species_h).
+    """
     n = t_start.shape[0]
+    L = extinctions.shape[1]
     k = cfg.tracking_k
     valid = active & (t_max >= 0.0) & (t_start < t_max)
     inv_max = 1.0 / max_extinction
@@ -223,20 +233,22 @@ def _delta_track_rmo(
     arange_k = jnp.arange(k)[:, None]
 
     def cond(s):
-        i, _, _, done, _, _ = s
+        i, done = s[0], s[3]
         return (i < cfg.max_tracking_steps) & jnp.any(~done)
 
     def body(s):
-        i, key, t, done, event, iid = s
+        i, key, t, done, event, iid, w = s
         key, k1 = jax.random.split(key)
         u = jax.random.uniform(k1, (3, k, n))
         steps = -jnp.log(jnp.maximum(u[0], 1e-12)) * inv_max  # (k, n)
         ts = t[None, :] + jnp.cumsum(steps, axis=0)
         pos = ray_pos[None] + jnp.minimum(ts, t_max_safe)[..., None] * ray_dir[None]
-        ext_sample = extinctions[None] * vol.get_density(vol.get_elevation(pos))
-        total = jnp.sum(ext_sample, axis=-1)  # (k, n)
+        dens = vol.get_density(vol.get_elevation(pos))  # (k, n, 3)
+        ext_sample = extinctions[None] * dens[:, :, None, :]  # (k, n, L, 3)
+        total = jnp.sum(ext_sample, axis=-1)  # (k, n, L)
+        total_h = total[..., 0]
         over_k = ts >= t_max
-        real_k = u[1] < total * inv_max
+        real_k = u[1] < total_h * inv_max
         stop_k = over_k | real_k
         any_stop = jnp.any(stop_k, axis=0)
         first = jnp.argmax(stop_k, axis=0)  # first terminal probe
@@ -244,11 +256,12 @@ def _delta_track_rmo(
         psel = lambda a: jnp.sum(a * pick, axis=0)
         t_sel = jnp.where(any_stop, psel(ts), ts[-1])
         over = psel(over_k.astype(ts.dtype)) > 0.5
-        # species CMF over (rayleigh, mie, ozone) at the stopping probe
-        # (reference pathtracer.py:102-106)
+        # species CMF over (rayleigh, mie, ozone) at the stopping probe,
+        # decided by the hero extinctions (reference pathtracer.py:102-106)
+        ext_stop = jnp.einsum("kn,knlc->nlc", pick, ext_sample)  # (n, L, 3)
         r = psel(u[1]) * max_extinction
-        c0 = psel(ext_sample[..., 0])
-        c01 = c0 + psel(ext_sample[..., 1])
+        c0 = ext_stop[:, 0, 0]
+        c01 = c0 + ext_stop[:, 0, 1]
         iid_new = jnp.where(
             r < c0, C.RAYLEIGH_ID, jnp.where(r < c01, C.MIE_ID, C.OZONE_ID)
         )
@@ -260,9 +273,28 @@ def _delta_track_rmo(
             hit, jnp.where(scatters, SCATTER_EVENT, ABSORB_EVENT), event
         )
         iid = jnp.where(hit, iid_new, iid)
+
+        # --- spectral MIS weight update (no-op when L == 1) ---
+        if L > 1:
+            # null-collision ratios for probes strictly before the stop
+            is_null = (arange_k < first[None, :]) | (~any_stop)[None, :]
+            null_num = jnp.maximum(1.0 - total * inv_max[None, :, None], 0.0)
+            null_den = jnp.maximum(
+                1.0 - total_h * inv_max[None, :], 1e-6
+            )[..., None]
+            null_ratio = jnp.where(
+                (is_null & (~done)[None, :])[..., None], null_num / null_den, 1.0
+            )
+            w_new = w * jnp.prod(null_ratio, axis=0)
+            # real collision: species-extinction ratio at the event
+            sp_pick = jax.nn.one_hot(jnp.minimum(iid_new, 2), 3, dtype=ts.dtype)
+            sp_j = jnp.einsum("nlc,nc->nl", ext_stop, sp_pick)
+            sp_ratio = sp_j / jnp.maximum(sp_j[:, :1], 1e-20)
+            w_new = jnp.where(hit[:, None], w_new * sp_ratio, w_new)
+            w = w_new
         t = jnp.where(done, t, t_sel)
         done = done | ((~done) & any_stop)
-        return i + 1, key, t, done, event, iid
+        return i + 1, key, t, done, event, iid, w
 
     init = (
         0,
@@ -271,9 +303,10 @@ def _delta_track_rmo(
         ~valid,
         jnp.full((n,), NULL_EVENT, dtype=jnp.int32),
         jnp.zeros((n,), dtype=jnp.int32),
+        jnp.ones((n, L)),
     )
-    _, _, t, _, event, iid = jax.lax.while_loop(cond, body, init)
-    return event, t, iid
+    _, _, t, _, event, iid, w = jax.lax.while_loop(cond, body, init)
+    return event, t, iid, w
 
 
 def _ratio_track_rmo(
@@ -281,8 +314,12 @@ def _ratio_track_rmo(
     active, cfg: TraceConfig,
 ):
     """Residual ratio tracking of RMO transmittance
-    (reference pathtracer.py:117-143), K speculative steps per iteration."""
+    (reference pathtracer.py:117-143), K speculative steps per iteration.
+    ``extinctions`` is (n, L, 3): one shared free-flight stream (driven by
+    the packet majorant) estimates the transmittance of every wavelength at
+    once. Returns (n, L)."""
     n = t_start.shape[0]
+    L = extinctions.shape[1]
     k = cfg.tracking_k
     valid = active & (t_max >= 0.0) & (t_start < t_max)
     inv_max = 1.0 / max_extinction
@@ -299,16 +336,18 @@ def _ratio_track_rmo(
         steps = -jnp.log(jnp.maximum(u, 1e-12)) * inv_max
         ts = t[None, :] + jnp.cumsum(steps, axis=0)
         pos = ray_pos[None] + jnp.minimum(ts, t_max_safe)[..., None] * ray_dir[None]
-        ext_sample = extinctions[None] * vol.get_density(vol.get_elevation(pos))
-        total = jnp.sum(ext_sample, axis=-1)
+        dens = vol.get_density(vol.get_elevation(pos))  # (k, n, 3)
+        total = jnp.einsum("nlc,knc->knl", extinctions, dens)  # (k, n, L)
         inside = (ts < t_max) & (~done)[None, :]
-        factors = jnp.where(inside, 1.0 - total * inv_max, 1.0)
+        factors = jnp.where(
+            inside[..., None], 1.0 - total * inv_max[None, :, None], 1.0
+        )
         trans = trans * jnp.prod(factors, axis=0)
         t = jnp.where(done, t, ts[-1])
-        done = done | (ts[-1] >= t_max) | (trans < 1e-5)
+        done = done | (ts[-1] >= t_max) | (jnp.max(trans, axis=-1) < 1e-5)
         return i + 1, key, t, done, trans
 
-    init = (0, key, t_start, ~valid, jnp.ones((n,)))
+    init = (0, key, t_start, ~valid, jnp.ones((n, L)))
     _, _, _, _, trans = jax.lax.while_loop(cond, body, init)
     return trans
 
@@ -509,85 +548,112 @@ def _rmo_span(ray_pos, ray_dir, land_isection):
 
 
 def sample_interaction(
-    key, ray_pos, ray_dir, land_isection, extinctions, max_ext_rmo,
+    key, ray_pos, ray_dir, land_isection, ext_rmo, ext_w, max_ext_rmo,
     max_ext_cloud, atlas, active, cfg: TraceConfig,
 ):
-    """Two-pass free-flight sampling: RMO gases, then the cloud slab; the
-    nearer event wins (reference pathtracer.py:172-207)."""
+    """Two-pass free-flight sampling by superposition: the cloud slab, then
+    the RMO gases capped at the cloud event; the nearer event wins
+    (reference pathtracer.py:172-207 runs RMO first — the combined first-event
+    distribution is order-independent, and cloud-first lets the RMO pass stop
+    its spectral-MIS weight accumulation exactly at the joint event, which
+    matters for hero-wavelength packets: cloud extinction is wavelength-
+    independent, so only RMO null collisions carry pdf ratios).
+
+    ext_rmo: (n, L, 3) per-wavelength extinction coefficients; ext_w: (n,)
+    cloud extinction. Returns (event, t, interaction_id, w_mult (n, L)).
+    """
+    n = ray_pos.shape[0]
+    L = ext_rmo.shape[1]
     k_rmo, k_cloud = jax.random.split(key)
     t_start, t_max = _rmo_span(ray_pos, ray_dir, land_isection)
+
     if cfg.naive_tracking:
-        ext4 = extinctions.at[:, 3].set(0.0)
+        assert L == 1, "naive_tracking supports single-wavelength tracing only"
+        ext4 = jnp.concatenate([ext_rmo[:, 0, :], jnp.zeros((n, 1))], axis=-1)
         rmo_event, rmo_t, rmo_id = tn.delta_track_naive(
             k_rmo, ray_pos, ray_dir, t_start, t_max, ext4, max_ext_rmo,
             atlas.clouds, "rmo", active, cfg,
         )
-    else:
-        rmo_event, rmo_t, rmo_id = _delta_track_rmo(
-            k_rmo, ray_pos, ray_dir, t_start, t_max, extinctions[:, :3],
-            max_ext_rmo, active, cfg,
-        )
-    if not cfg.enable_clouds:
-        return rmo_event, rmo_t, rmo_id
-
-    c_start, c_max = intersect_cloud_limits(ray_pos, ray_dir, land_isection)
-    cloud_active = active & ((rmo_event == NULL_EVENT) | (rmo_t > c_start))
-    if cfg.naive_tracking:
-        cloud_ext = jnp.zeros_like(extinctions).at[:, 3].set(extinctions[:, 3])
+        if not cfg.enable_clouds:
+            return rmo_event, rmo_t, rmo_id, jnp.ones((n, 1))
+        c_start, c_max = intersect_cloud_limits(ray_pos, ray_dir, land_isection)
+        cloud_active = active & ((rmo_event == NULL_EVENT) | (rmo_t > c_start))
+        cloud_ext = jnp.zeros((n, 4)).at[:, 3].set(ext_w)
         c_event, c_t, _ = tn.delta_track_naive(
             k_cloud, ray_pos, ray_dir, c_start, c_max, cloud_ext,
             max_ext_cloud, atlas.clouds, "cloud", cloud_active, cfg,
         )
-    else:
-        c_event, c_t = _track_cloud(
-            k_cloud, ray_pos, ray_dir, c_start, c_max, extinctions[:, 3],
-            max_ext_cloud, atlas.clouds, cloud_active, cfg,
-            mode="delta",
+        take = cloud_active & (c_event > NULL_EVENT) & (
+            (c_t < rmo_t) | (rmo_event == NULL_EVENT)
         )
-    take = cloud_active & (c_event > NULL_EVENT) & (
-        (c_t < rmo_t) | (rmo_event == NULL_EVENT)
+        event = jnp.where(take, c_event, rmo_event)
+        t = jnp.where(take, c_t, rmo_t)
+        iid = jnp.where(take, C.CLOUD_ID, rmo_id)
+        return event, t, iid, jnp.ones((n, 1))
+
+    if cfg.enable_clouds:
+        c_start, c_max = intersect_cloud_limits(ray_pos, ray_dir, land_isection)
+        c_event, c_t = _track_cloud(
+            k_cloud, ray_pos, ray_dir, c_start, c_max, ext_w,
+            max_ext_cloud, atlas.clouds, active, cfg, mode="delta",
+        )
+        # RMO tracking only needs to reach the cloud event (if any)
+        rmo_cap = jnp.where(c_event > NULL_EVENT, jnp.minimum(t_max, c_t), t_max)
+    else:
+        rmo_cap = t_max
+
+    rmo_event, rmo_t, rmo_id, w_mult = _delta_track_rmo(
+        k_rmo, ray_pos, ray_dir, t_start, rmo_cap, ext_rmo, max_ext_rmo,
+        active, cfg,
     )
-    event = jnp.where(take, c_event, rmo_event)
-    t = jnp.where(take, c_t, rmo_t)
-    iid = jnp.where(take, C.CLOUD_ID, rmo_id)
-    return event, t, iid
+    if not cfg.enable_clouds:
+        return rmo_event, rmo_t, rmo_id, w_mult
+
+    take_cloud = (c_event > NULL_EVENT) & (rmo_event == NULL_EVENT)
+    event = jnp.where(take_cloud, c_event, rmo_event)
+    t = jnp.where(take_cloud, c_t, rmo_t)
+    iid = jnp.where(take_cloud, C.CLOUD_ID, rmo_id)
+    return event, t, iid, w_mult
 
 
 def sample_transmittance(
-    key, ray_pos, ray_dir, land_isection, extinctions, max_ext_rmo,
+    key, ray_pos, ray_dir, land_isection, ext_rmo, ext_w, max_ext_rmo,
     max_ext_cloud, atlas, active, cfg: TraceConfig,
 ):
     """Transmittance toward the sun: RMO ratio-tracking times cloud
-    ratio-tracking (reference pathtracer.py:211-232)."""
+    ratio-tracking (reference pathtracer.py:211-232). ext_rmo (n, L, 3);
+    returns per-wavelength transmittance (n, L)."""
+    n = ray_pos.shape[0]
+    L = ext_rmo.shape[1]
     k_rmo, k_cloud = jax.random.split(key)
     t_start, t_max = _rmo_span(ray_pos, ray_dir, land_isection)
     if cfg.naive_tracking:
-        ext4 = extinctions.at[:, 3].set(0.0)
+        assert L == 1, "naive_tracking supports single-wavelength tracing only"
+        ext4 = jnp.concatenate([ext_rmo[:, 0, :], jnp.zeros((n, 1))], axis=-1)
         trans = tn.ratio_track_naive(
             k_rmo, ray_pos, ray_dir, t_start, t_max, ext4, max_ext_rmo,
             atlas.clouds, "rmo", active, cfg,
-        )
+        )[:, None]
     else:
         trans = _ratio_track_rmo(
-            k_rmo, ray_pos, ray_dir, t_start, t_max, extinctions[:, :3],
+            k_rmo, ray_pos, ray_dir, t_start, t_max, ext_rmo,
             max_ext_rmo, active, cfg,
         )
     if not cfg.enable_clouds:
         return trans
     c_start, c_max = intersect_cloud_limits(ray_pos, ray_dir, land_isection)
     if cfg.naive_tracking:
-        cloud_ext = jnp.zeros_like(extinctions).at[:, 3].set(extinctions[:, 3])
-        trans = trans * tn.ratio_track_naive(
+        cloud_ext = jnp.zeros((n, 4)).at[:, 3].set(ext_w)
+        cloud_trans = tn.ratio_track_naive(
             k_cloud, ray_pos, ray_dir, c_start, c_max, cloud_ext,
             max_ext_cloud, atlas.clouds, "cloud", active, cfg,
         )
     else:
-        trans = trans * _track_cloud(
-            k_cloud, ray_pos, ray_dir, c_start, c_max, extinctions[:, 3],
-            max_ext_cloud, atlas.clouds, active, cfg,
-            mode="ratio",
+        cloud_trans = _track_cloud(
+            k_cloud, ray_pos, ray_dir, c_start, c_max, ext_w,
+            max_ext_cloud, atlas.clouds, active, cfg, mode="ratio",
         )
-    return trans
+    return trans * cloud_trans[:, None]
 
 
 def get_land_material(atlas, pos, bilinear=True):
@@ -628,22 +694,48 @@ def get_land_material(atlas, pos, bilinear=True):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, luts,
-                cfg: TraceConfig = TraceConfig()):
-    """Trace one spectral sample per lane; returns in-scattered radiance (N,).
+                cfg: TraceConfig = TraceConfig(), lambda_pdf=None):
+    """Trace one spectral path per lane.
+
+    Hero-wavelength packets (Wilkie et al. 2014): each path carries L
+    wavelengths; the hero (index 0) drives all sampling decisions, companions
+    ride along with per-collision pdf-ratio weights, and every contribution
+    is MIS-balanced over "which member is hero" (rotations of the spectral
+    domain are measure-preserving, so the balance denominator is
+    sum_k p_lambda(lambda_k) * W_k with W_k the tracked pdf ratios).
+    L = 1 reduces exactly to the reference's single-wavelength estimator
+    (reference renderer.py:310, pathtracer.py:316-469).
 
     Args:
       key: PRNG key for this wavefront.
-      ray_pos, ray_dir: (N,3) camera rays.
-      wavelength: (N,) hero wavelengths in nm.
-      scene: SceneParams; atlas: TextureAtlas; luts: SpectralLUTs.
+      ray_pos, ray_dir: (N, 3) camera rays.
+      wavelength: (N,) or (N, L) wavelengths in nm (member 0 = hero).
+      lambda_pdf: (N, L) CIE sampling density of each member (same units as
+        spectrum_sample's pdf). Defaults to 1 — then the L=1 return value is
+        raw radiance, matching the pre-packet API where the caller divides
+        by the pdf.
+
+    Returns:
+      (N,) radiance if wavelength was 1-D, else (N, L) MIS-weighted
+      per-wavelength radiance estimates (already divided by the spectral
+      pdfs; multiply by the CIE responses and sum over L for XYZ).
     """
-    n = ray_pos.shape[0]
+    squeeze = wavelength.ndim == 1
+    if squeeze:
+        wavelength = wavelength[:, None]
+    n, L = wavelength.shape
+    if lambda_pdf is None:
+        lambda_pdf = jnp.ones((n, L))
     scale = scene.land_height_scale
 
     # Per-wavelength constants (reference pathtracer.py:332-343)
-    sun_power = sp.plancks(C.SUN_TEMPERATURE, wavelength)
-    nightlights_power = sp.plancks(C.NIGHTLIGHT_TEMPERATURE, wavelength) * C.NIGHTLIGHT_SCALE
-    sun_irradiance = sun_power * mu.cone_angle_to_solid_angle(scene.sun_angular_radius)
+    sun_power = sp.plancks(C.SUN_TEMPERATURE, wavelength)  # (n, L)
+    nightlights_power = (
+        sp.plancks(C.NIGHTLIGHT_TEMPERATURE, wavelength) * C.NIGHTLIGHT_SCALE
+    )
+    sun_irradiance = sun_power * mu.cone_angle_to_solid_angle(
+        scene.sun_angular_radius
+    )
 
     ext_rmo = jnp.stack(
         [
@@ -652,8 +744,10 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
             vol.spectra_extinction_ozone(wavelength, luts.o3_crossec),
         ],
         axis=-1,
-    )  # (N, 3)
-    max_ext_rmo = jnp.sum(ext_rmo * _MAX_DENS_RMO, axis=-1)  # (N,)
+    )  # (n, L, 3)
+    # majorant over the whole packet: hero-driven free flights must majorize
+    # every member's extinction
+    max_ext_rmo = jnp.max(jnp.sum(ext_rmo * _MAX_DENS_RMO, axis=-1), axis=-1)  # (n,)
 
     light_direction = jnp.broadcast_to(scene.light_direction, (n, 3))
 
@@ -665,16 +759,15 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
         return (bounce < cfg.max_bounces) & jnp.any(alive)
 
     def body(state):
-        bounce, key, pos, direction, throughput, radiance, alive, primary_miss = state
+        (bounce, key, pos, direction, throughput, radiance, alive,
+         primary_miss, w_mis) = state
 
         # cloud extinction drops after bounce 9 (reference pathtracer.py:351-352)
-        ext_w = jnp.where(
+        ext_w_scalar = jnp.where(
             bounce > C.MULTISCATTER_BOUNCE, C.MULTISCATTER_CLOUD_EXTINCT, C.CLOUDS_EXTINCT
         )
-        extinctions = jnp.concatenate(
-            [ext_rmo, jnp.full((n, 1), 1.0) * ext_w], axis=-1
-        )
-        max_ext_cloud = jnp.full((n,), 1.0) * (ext_w * C.CLOUDS_DENSITY)
+        ext_w = jnp.full((n,), 1.0) * ext_w_scalar
+        max_ext_cloud = ext_w * C.CLOUDS_DENSITY
 
         keys = jax.random.split(key, 10)
         key = keys[0]
@@ -683,16 +776,21 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
         earth = _march(atlas.topography, pos, direction, scale, alive, cfg)
 
         # 2. free-flight sampling (reference pathtracer.py:362-368)
-        event, t_int, iid = sample_interaction(
-            keys[1], pos, direction, earth, extinctions, max_ext_rmo,
+        event, t_int, iid, w_mult = sample_interaction(
+            keys[1], pos, direction, earth, ext_rmo, ext_w, max_ext_rmo,
             max_ext_cloud, atlas, alive, cfg,
         )
+        w_mult = jnp.where(alive[:, None], w_mult, 1.0)
+        w_mis = w_mis * w_mult
+        throughput = throughput * w_mult  # identical physical/pdf ratio terms
         # isotropic multi-scatter fallback (reference pathtracer.py:369-370)
         iid = jnp.where(
             (bounce > C.MULTISCATTER_BOUNCE) & (iid == C.CLOUD_ID),
             C.ISOTROPIC_CLOUD_ID,
             iid,
         )
+        # spectral MIS balance denominator for this bounce's contributions
+        denom = jnp.maximum(jnp.sum(lambda_pdf * w_mis, axis=-1), 1e-12)[:, None]
 
         # 3. NEE sun direction for every lane (reference pathtracer.py:373)
         u_c = jax.random.uniform(keys[2], (2, n))
@@ -713,8 +811,7 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
 
         # --- surface lanes (reference pathtracer.py:404-439) ---
         # All surface work (material gathers, normals, shadow march, BRDFs)
-        # is gated on any lane actually hitting land this bounce: sky/cloud
-        # tiles and later volumetric bounces skip ~20 texture gathers.
+        # is gated on any lane actually hitting land this bounce.
         u_h = jax.random.uniform(keys[5], (2, n))
 
         def surface_work(_):
@@ -726,31 +823,35 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
             albedo_srgb, ocean, bathymetry, emissive = get_land_material(
                 atlas, land_pos, cfg.bilinear_materials
             )
-            albedo = sp.srgb_to_spectrum(luts.srgb2spec, albedo_srgb, wavelength)
+            albedo = sp.srgb_to_spectrum(
+                luts.srgb2spec, albedo_srgb[:, None, :], wavelength
+            )  # (n, L)
             offset_pos = land_pos * (1.0 + 0.0001 * scale / 12000.0)
             shadow_hit = _march(
                 atlas.topography, offset_pos, light_dir, scale, surface, cfg
             )
             sur_vis = shadow_hit < 0.0
-            # direct term (reference pathtracer.py:431-432)
-            d_brdf, d_ndl = srf.earth_brdf(
-                albedo, ocean, bathymetry, -direction, normal, light_dir
+            # the BRDF is linear in the spectral albedo: evaluate geometry
+            # once, combine per wavelength (reference pathtracer.py:431-439)
+            d_diff, d_spec, d_ndl = srf.earth_brdf_parts(
+                ocean, bathymetry, -direction, normal, light_dir
             )
-            # bounce continuation (reference pathtracer.py:434-439)
+            d_term = (albedo * d_diff[:, None] + d_spec[:, None]) * d_ndl[:, None]
             hemi_dir = smp.sample_hemisphere_cosine_weighted(u_h[0], u_h[1], normal)
-            b_brdf, _ = srf.earth_brdf(
-                albedo, ocean, bathymetry, -direction, normal, hemi_dir
+            b_diff, b_spec, _ = srf.earth_brdf_parts(
+                ocean, bathymetry, -direction, normal, hemi_dir
             )
-            return offset_pos, sur_vis, emissive, d_brdf * d_ndl, hemi_dir, b_brdf
+            b_brdf = albedo * b_diff[:, None] + b_spec[:, None]  # (n, L)
+            return offset_pos, sur_vis, emissive, d_term, hemi_dir, b_brdf
 
         def surface_skip(_):
             return (
                 pos,
                 jnp.zeros((n,), bool),
                 jnp.zeros((n,)),
-                jnp.zeros((n,)),
+                jnp.zeros((n, L)),
                 jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), (n, 3)),
-                jnp.zeros((n,)),
+                jnp.zeros((n, L)),
             )
 
         offset_pos, sur_vis, emissive, d_term, hemi_dir, b_brdf = jax.lax.cond(
@@ -758,28 +859,32 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
         )
         sur_nee = surface & sur_vis
 
-        # merged NEE transmittance: one ratio-tracking pass serves both the
-        # volume lanes (origin = interaction point) and the surface lanes
-        # (origin = offset land point), matching reference pathtracer.py:387,424
+        # merged NEE transmittance (reference pathtracer.py:387,424)
         nee_origin = jnp.where(surface[:, None], offset_pos, int_pos)
         nee_active = vol_nee | sur_nee
         trans = sample_transmittance(
-            keys[3], nee_origin, light_dir, jnp.full((n,), -1.0), extinctions,
+            keys[3], nee_origin, light_dir, jnp.full((n,), -1.0), ext_rmo, ext_w,
             max_ext_rmo, max_ext_cloud, atlas, nee_active, cfg,
-        )
+        )  # (n, L)
 
         reduce_peak = bounce > 0
         phase_d = vol.evaluate_phase(direction, light_dir, iid, reduce_peak)
         radiance = radiance + jnp.where(
-            vol_nee, throughput * trans * sun_irradiance * phase_d, 0.0
+            vol_nee[:, None],
+            throughput * trans * sun_irradiance * phase_d[:, None] / denom,
+            0.0,
         )
 
         # emissive nightlights (reference pathtracer.py:417)
         radiance = radiance + jnp.where(
-            surface, throughput * emissive * nightlights_power, 0.0
+            surface[:, None],
+            throughput * emissive[:, None] * nightlights_power / denom,
+            0.0,
         )
         radiance = radiance + jnp.where(
-            sur_nee, throughput * trans * sun_irradiance * d_term, 0.0
+            sur_nee[:, None],
+            throughput * trans * sun_irradiance * d_term / denom,
+            0.0,
         )
 
         # --- continue the path (reference pathtracer.py:397-401, 434-439) ---
@@ -795,24 +900,28 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
             scatter[:, None], int_pos, jnp.where(surface[:, None], offset_pos, pos)
         )
         new_thr = jnp.where(
-            scatter,
-            throughput * phase_w,
-            jnp.where(surface, throughput * b_brdf * math.pi, throughput),
+            scatter[:, None],
+            throughput * phase_w[:, None],
+            jnp.where(surface[:, None], throughput * b_brdf * math.pi, throughput),
         )
 
         primary_miss = primary_miss | (miss & (bounce == 0))
         alive = scatter | surface
 
-        # Russian roulette (reference pathtracer.py:448-453)
+        # Russian roulette, decided by the hero throughput
+        # (reference pathtracer.py:448-453)
         rr_on = alive & (bounce > cfg.rr_start)
-        p_kill = jnp.maximum(0.05, 1.0 - new_thr)
+        p_kill = jnp.maximum(0.05, 1.0 - new_thr[:, 0])
         u_rr = jax.random.uniform(keys[6], (n,))
         killed = rr_on & (u_rr < p_kill)
-        new_thr = jnp.where(rr_on & ~killed, new_thr / (1.0 - p_kill), new_thr)
+        new_thr = jnp.where(
+            (rr_on & ~killed)[:, None], new_thr / (1.0 - p_kill[:, None]), new_thr
+        )
         alive = alive & ~killed
 
         return (
-            bounce + 1, key, new_pos, new_dir, new_thr, radiance, alive, primary_miss,
+            bounce + 1, key, new_pos, new_dir, new_thr, radiance, alive,
+            primary_miss, w_mis,
         )
 
     init = (
@@ -820,27 +929,40 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
         key,
         ray_pos,
         ray_dir,
-        jnp.ones((n,)),
-        jnp.zeros((n,)),
+        jnp.ones((n, L)),
+        jnp.zeros((n, L)),
         jnp.ones((n,), dtype=bool),
         jnp.zeros((n,), dtype=bool),
+        jnp.ones((n, L)),
     )
     state = jax.lax.while_loop(cond, body, init)
-    radiance, primary_miss = state[5], state[7]
+    throughput, radiance, primary_miss, w_mis = (
+        state[4], state[5], state[7], state[8]
+    )
+    final_denom = jnp.maximum(jnp.sum(lambda_pdf * w_mis, axis=-1), 1e-12)[:, None]
 
-    # Miss shading: sun disk + stars (reference pathtracer.py:455-463)
+    # Miss shading: sun disk + stars (reference pathtracer.py:455-463).
+    # A primary miss happens at bounce 0 where the hero throughput is 1, but
+    # packet companions carry their null-collision pdf ratios (the per-lambda
+    # transmittance estimate of the escape), so throughput multiplies in.
     sun_hit = primary_miss & (
         jnp.sum(scene.light_direction * ray_dir, axis=-1) > scene.sun_cos_angle
     )
-    radiance = radiance + jnp.where(sun_hit, sun_power, 0.0)
-    stars_srgb = tx.sample_dir_texture(atlas.stars, ray_dir, cfg.bilinear_materials)
-    stars_power = sp.srgb_to_spectrum(luts.srgb2spec, stars_srgb, wavelength)
     radiance = radiance + jnp.where(
-        primary_miss, stars_power * sun_power * C.STARS_SCALE, 0.0
+        sun_hit[:, None], throughput * sun_power / final_denom, 0.0
+    )
+    stars_srgb = tx.sample_dir_texture(atlas.stars, ray_dir, cfg.bilinear_materials)
+    stars_power = sp.srgb_to_spectrum(luts.srgb2spec, stars_srgb[:, None, :], wavelength)
+    radiance = radiance + jnp.where(
+        primary_miss[:, None],
+        throughput * stars_power * sun_power * C.STARS_SCALE / final_denom,
+        0.0,
     )
 
     # NaN/Inf/negative clamp (reference pathtracer.py:466-467)
     radiance = jnp.where(
         jnp.isfinite(radiance) & (radiance >= 0.0), radiance, 0.0
     )
+    if squeeze:
+        return radiance[:, 0]
     return radiance

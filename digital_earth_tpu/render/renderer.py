@@ -111,16 +111,23 @@ def _render_step(
         )
         pos = jnp.broadcast_to(cam.position, (tile, 3))
         u = jax.random.uniform(k_wl, (tile,))
-        wavelength, response, rcp_pdf = sp.spectrum_sample(
-            u, luts.cie_cdf, luts.cie_response
-        )
         if mode == "preview":
             from .raymarcher import march_paths
 
+            wavelength, response, rcp_pdf = sp.spectrum_sample(
+                u, luts.cie_cdf, luts.cie_response
+            )
             radiance = march_paths(k_tr, pos, dirs, wavelength, scene, atlas, luts, cfg)
+            xyz = radiance[:, None] * response * rcp_pdf[:, None]
         else:
-            radiance = trace_paths(k_tr, pos, dirs, wavelength, scene, atlas, luts, cfg)
-        xyz = radiance[:, None] * response * rcp_pdf[:, None]
+            wavelengths, responses, lambda_pdf = sp.spectrum_sample_hero(
+                u, luts.cie_cdf, luts.cie_response, cfg.hero_lambdas
+            )
+            radiance = trace_paths(
+                k_tr, pos, dirs, wavelengths, scene, atlas, luts, cfg,
+                lambda_pdf=lambda_pdf,
+            )  # (tile, L), pdf-weighted
+            xyz = jnp.einsum("nl,nlc->nc", radiance, responses)
         return sp.xyz_to_rgb(xyz)
 
     tiles = jax.lax.map(render_tile, jnp.arange(n_tiles))

@@ -53,9 +53,9 @@ class TestBeerLambert:
             max_ext = jnp.sum(ext * pt._MAX_DENS_RMO, axis=-1)
             t0, t1 = pt._rmo_span(o, d, jnp.full(reps, -1.0))
             trans = pt._ratio_track_rmo(
-                jax.random.PRNGKey(0), o, d, t0, t1, ext, max_ext,
+                jax.random.PRNGKey(0), o, d, t0, t1, ext[:, None, :], max_ext,
                 jnp.ones(reps, bool), CFG,
-            )
+            )[:, 0]
             mc = float(jnp.mean(trans))
             se = float(jnp.std(trans)) / math.sqrt(reps)
             analytic = self._quadrature_transmittance(
@@ -86,15 +86,15 @@ class TestDeltaTrackingUnbiased:
         )
         max_ext = jnp.sum(ext * pt._MAX_DENS_RMO, axis=-1)
         t0, t1 = pt._rmo_span(o, d, jnp.full(reps, -1.0))
-        event, _, _ = pt._delta_track_rmo(
-            jax.random.PRNGKey(1), o, d, t0, t1, ext, max_ext,
+        event, _, _, _ = pt._delta_track_rmo(
+            jax.random.PRNGKey(1), o, d, t0, t1, ext[:, None, :], max_ext,
             jnp.ones(reps, bool), CFG,
         )
         p_escape = float(jnp.mean(event == pt.NULL_EVENT))
         trans = pt._ratio_track_rmo(
-            jax.random.PRNGKey(2), o, d, t0, t1, ext, max_ext,
+            jax.random.PRNGKey(2), o, d, t0, t1, ext[:, None, :], max_ext,
             jnp.ones(reps, bool), CFG,
-        )
+        )[:, 0]
         t_mean = float(jnp.mean(trans))
         se = math.sqrt(p_escape * (1 - p_escape) / reps) + float(
             jnp.std(trans)
@@ -118,8 +118,8 @@ class TestDeltaTrackingUnbiased:
         )
         max_ext = jnp.sum(ext * pt._MAX_DENS_RMO, axis=-1)
         t0, t1 = pt._rmo_span(o, d, jnp.full(reps, -1.0))
-        event, _, iid = pt._delta_track_rmo(
-            jax.random.PRNGKey(3), o, d, t0, t1, ext, max_ext,
+        event, _, iid, _ = pt._delta_track_rmo(
+            jax.random.PRNGKey(3), o, d, t0, t1, ext[:, None, :], max_ext,
             jnp.ones(reps, bool), CFG,
         )
         event = np.asarray(event)
