@@ -71,6 +71,7 @@ def main():
 
         Image.fromarray(r.fetch_image_np()).save(args.out)
 
+    hero_l = r.cfg.hero_lambdas
     result = {
         "metric": "paths_per_sec_1080p_apollo11",
         "value": round(paths_per_sec, 1),
@@ -81,6 +82,8 @@ def main():
         "spp_timed": args.spp,
         "seconds_per_spp": round(dt / args.spp, 3),
         "warmup_s": round(warmup_s, 1),
+        "hero_lambdas": hero_l,
+        "spectral_samples_per_sec": round(paths_per_sec * hero_l, 1),
         "est_wallclock_1024spp_s": round(1024 * dt / args.spp, 1),
     }
     print(json.dumps(result))

@@ -97,8 +97,12 @@ class EarthViewer:
         config_path: str = "config.txt",
         screenshot_dir: str = "screenshot",
         port: int = 8000,
+        adaptive_fps: float = 0.0,
         **renderer_kwargs,
     ):
+        """``adaptive_fps`` > 0 enables the adaptive samples-per-frame
+        controller targeting that rate (the reference ships this commented
+        out, earth_viewer.py:253-257)."""
         if renderer is None:
             from ..render.renderer import Renderer
 
@@ -108,6 +112,7 @@ class EarthViewer:
         self.config_path = config_path
         self.screenshot_dir = screenshot_dir
         self.port = port
+        self.adaptive_fps = adaptive_fps
         self._lock = threading.Lock()
         # serializes accumulate() against frame fetches: the accumulation
         # buffer is donated to the jitted step, so reading it mid-step would
@@ -190,6 +195,12 @@ class EarthViewer:
 
     # --- render loop -----------------------------------------------------
     def _render_loop(self):
+        from ..utils.profiling import AdaptiveSpp
+
+        controller = (
+            AdaptiveSpp(target_fps=self.adaptive_fps) if self.adaptive_fps > 0 else None
+        )
+        spp_per_frame = 1
         elapsed = 0.05
         n_pixels = self.renderer.image_res[0] * self.renderer.image_res[1]
         while self._running:
@@ -204,10 +215,13 @@ class EarthViewer:
                 if moved:
                     self.camera.push_to(self.renderer)
                     self.renderer.reset_framebuffer()
-                self.renderer.accumulate()
+                for _ in range(spp_per_frame):
+                    self.renderer.accumulate()
                 np.asarray(self.renderer.color_buffer)  # sync
             elapsed = max(time.time() - t0, 1e-4)
-            self._paths_per_sec = n_pixels / elapsed
+            self._paths_per_sec = n_pixels * spp_per_frame / elapsed
+            if controller is not None:
+                spp_per_frame = controller.update(elapsed)
 
     def start(self):
         """Serve the viewer; blocks until interrupted

@@ -85,6 +85,26 @@ def ggx_smith_specular(roughness, f0, n_dot_l, n_dot_v, l_dot_h, n_dot_h):
     return d * g * f / jnp.maximum(4.0 * n_dot_l * n_dot_v, 1e-5)
 
 
+def sample_ggx_vndf(v_tangent, u0, u1, alpha):
+    """Visible-NDF GGX half-vector sampling (spherical-caps form) — present
+    but unused in the reference (surface_rendering_models.py:125-144); kept
+    for capability parity. ``v_tangent`` (..., 3) is the view direction in
+    tangent space; returns the sampled half vector in tangent space."""
+    vs = normalize(
+        jnp.concatenate([v_tangent[..., :2] * alpha, v_tangent[..., 2:]], axis=-1)
+    )
+    phi = 2.0 * math.pi * u0
+    z = (1.0 - u1) * (1.0 + vs[..., 2]) - vs[..., 2]
+    xy_scale = jnp.sqrt(saturate(1.0 - z * z))
+    hemi = jnp.stack(
+        [jnp.cos(phi) * xy_scale, jnp.sin(phi) * xy_scale, z], axis=-1
+    )
+    h = hemi + vs
+    return normalize(
+        jnp.concatenate([h[..., :2] * alpha, h[..., 2:]], axis=-1)
+    )
+
+
 def beckmann_isotropic_ndf(n_dot_h, alpha):
     """Reference surface_rendering_models.py:147-152."""
     cos_theta2 = jnp.maximum(n_dot_h * n_dot_h, 1e-12)

@@ -249,6 +249,12 @@ def evaluate_phase(ray_dir, light_dir, interaction_id, reduce_peak):
 # ---------------------------------------------------------------------------
 
 
+def spectra_extinction_mie2(wavelength):
+    """Simpler 1/lambda aerosol model — present but unused in the reference
+    (volume_rendering_models.py:189-192); kept for capability parity."""
+    return 0.0009 / wavelength
+
+
 def spectra_extinction_mie(wavelength):
     """Junge/turbidity aerosol extinction
     (reference volume_rendering_models.py:195-200)."""

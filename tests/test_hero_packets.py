@@ -1,0 +1,72 @@
+"""Hero-wavelength packet estimator consistency (Wilkie et al. 2014).
+
+The L=4 packet estimator must agree in expectation with the L=1 reference
+estimator — the MIS over spectral rotations is unbiased."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from digital_earth_tpu.assets.luts import load_spectral_luts
+from digital_earth_tpu.assets.procgen import generate_earth_textures
+from digital_earth_tpu.assets.textures import build_atlas
+from digital_earth_tpu.ops import spectral as sp
+from digital_earth_tpu.render import pathtracer as pt
+from digital_earth_tpu.render.params import TraceConfig, make_scene_params
+
+
+@pytest.fixture(scope="module")
+def scene():
+    atlas = build_atlas(generate_earth_textures((64, 128), seed=3))
+    luts = load_spectral_luts()
+    return atlas, luts, make_scene_params()
+
+
+def _trace_mean_xyz(scene_fix, L, n, key):
+    atlas, luts, scn = scene_fix
+    cfg = TraceConfig(
+        max_bounces=3, land_march_steps=64, max_tracking_steps=256, hero_lambdas=L
+    )
+    cam = jnp.array([35963490.0, 12765367.0, -42445899.0])
+    k_d, k_u, k_t = jax.random.split(key, 3)
+    target = jax.random.normal(k_d, (n, 3)) * 4e6
+    dirs = target - cam
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    pos = jnp.broadcast_to(cam, (n, 3))
+    u = jax.random.uniform(k_u, (n,))
+    wl, resp, pdf = sp.spectrum_sample_hero(u, luts.cie_cdf, luts.cie_response, L)
+    rad = pt.trace_paths(k_t, pos, dirs, wl, scn, atlas, luts, cfg, lambda_pdf=pdf)
+    xyz = jnp.einsum("nl,nlc->nc", rad, resp)
+    return np.asarray(xyz)
+
+
+class TestHeroPackets:
+    def test_rotation_sampler_properties(self):
+        luts = load_spectral_luts()
+        u = jax.random.uniform(jax.random.PRNGKey(0), (512,))
+        wl, resp, pdf = sp.spectrum_sample_hero(u, luts.cie_cdf, luts.cie_response, 4)
+        assert wl.shape == (512, 4) and resp.shape == (512, 4, 3)
+        wl = np.asarray(wl)
+        assert wl.min() >= 390.0 and wl.max() <= 831.0
+        # rotations are spaced by a quarter of the domain
+        gaps = np.sort(wl, axis=1)
+        d = np.diff(gaps, axis=1)
+        np.testing.assert_allclose(d, 441.0 / 4, atol=0.5)
+
+    def test_packet_estimator_unbiased_vs_single(self, scene):
+        n = 3072
+        a = _trace_mean_xyz(scene, 1, n, jax.random.PRNGKey(1)).mean(axis=0)
+        a2 = _trace_mean_xyz(scene, 1, n, jax.random.PRNGKey(2)).mean(axis=0)
+        b = _trace_mean_xyz(scene, 4, n, jax.random.PRNGKey(3)).mean(axis=0)
+        seed_scale = np.abs(a - a2) + 1e-4 + 0.05 * np.abs(a)
+        assert (np.abs(b - (a + a2) / 2) < 5 * seed_scale).all(), (a, a2, b)
+
+    def test_packet_reduces_variance(self, scene):
+        n = 2048
+        xyz1 = _trace_mean_xyz(scene, 1, n, jax.random.PRNGKey(4))
+        xyz4 = _trace_mean_xyz(scene, 4, n, jax.random.PRNGKey(5))
+        # per-sample variance of the luminance channel should drop materially
+        v1 = xyz1[:, 1].var()
+        v4 = xyz4[:, 1].var()
+        assert v4 < v1 * 0.8, (v1, v4)
