@@ -223,10 +223,9 @@ class EarthViewer:
             if controller is not None:
                 spp_per_frame = controller.update(elapsed)
 
-    def start(self):
-        """Serve the viewer; blocks until interrupted
-        (the reference's window loop, earth_viewer.py:183-319)."""
-        print(HELP_MSG)
+    def make_server(self, host: str = "0.0.0.0", port=None) -> ThreadingHTTPServer:
+        """Build the HTTP server with the real request handler (also used by
+        tests to exercise the actual routing)."""
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -280,10 +279,18 @@ class EarthViewer:
                 self.end_headers()
                 self.wfile.write(body)
 
+        return ThreadingHTTPServer(
+            (host, self.port if port is None else port), Handler
+        )
+
+    def start(self):
+        """Serve the viewer; blocks until interrupted
+        (the reference's window loop, earth_viewer.py:183-319)."""
+        print(HELP_MSG)
         self._running = True
         thread = threading.Thread(target=self._render_loop, daemon=True)
         thread.start()
-        server = ThreadingHTTPServer(("0.0.0.0", self.port), Handler)
+        server = self.make_server()
         print(f"Earth Viewer serving at http://localhost:{self.port}")
         try:
             server.serve_forever()

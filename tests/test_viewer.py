@@ -1,0 +1,147 @@
+"""Hermetic tests of the web viewer's HTTP layer: a stub renderer stands in
+for the TPU, and requests go through a real in-process HTTP server."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from digital_earth_tpu.app.viewer import EarthViewer
+
+
+class StubRenderer:
+    """Implements the Renderer surface the viewer touches, CPU-only."""
+
+    def __init__(self, image_res=(16, 9)):
+        self.image_res = image_res
+        self.current_spp = 0
+        self.color_buffer = np.zeros((*image_res, 3), dtype=np.float32)
+        self.crf_names = ["Neutral", "Kodachrome"]
+        self.camera_pos = np.zeros(3)
+        self.look_at = np.zeros(3)
+        self.up = np.array([0.0, 1.0, 0.0])
+        self.fov = 0.2
+        self.aspect_scale = 1.0
+        self.exposure = 2.5
+        self.gamma = 1.0
+        self.selected_crf = 0
+        self.sun_angle = 1.0
+        self.sun_path_rot = -0.7
+        self.land_height_scale = 7800.0
+        self.resets = 0
+
+    def set_camera_pos(self, x, y, z):
+        self.camera_pos = np.array([x, y, z])
+
+    def set_look_at(self, x, y, z):
+        self.look_at = np.array([x, y, z])
+
+    def set_up(self, x, y, z):
+        self.up = np.array([x, y, z])
+
+    def set_fov(self, v):
+        self.fov = float(v)
+
+    def set_aspect_scale(self, v):
+        self.aspect_scale = float(v)
+
+    def set_exposure(self, v):
+        self.exposure = float(v)
+
+    def set_gamma(self, v):
+        self.gamma = float(v)
+
+    def set_crf(self, v):
+        self.selected_crf = int(v)
+
+    def set_sun_angle(self, v):
+        self.sun_angle = float(v)
+
+    def set_sun_path_rot(self, v):
+        self.sun_path_rot = float(v)
+
+    def reset_framebuffer(self):
+        self.current_spp = 0
+        self.resets += 1
+
+    def accumulate(self):
+        self.current_spp += 1
+        time.sleep(0.001)
+
+    def fetch_image_np(self):
+        return np.zeros((self.image_res[1], self.image_res[0], 3), dtype=np.uint8)
+
+
+@pytest.fixture()
+def viewer(tmp_path):
+    v = EarthViewer(
+        renderer=StubRenderer(),
+        config_path=str(tmp_path / "config.txt"),
+        screenshot_dir=str(tmp_path / "shots"),
+        port=0,
+    )
+    v._running = True
+    t = threading.Thread(target=v._render_loop, daemon=True)
+    t.start()
+    server = v.make_server(host="127.0.0.1", port=0)  # the real handler
+    st = threading.Thread(target=server.serve_forever, daemon=True)
+    st.start()
+    v._test_port = server.server_address[1]
+    yield v
+    v._running = False
+    server.shutdown()
+
+
+def _get(v, path):
+    return urllib.request.urlopen(
+        f"http://127.0.0.1:{v._test_port}{path}", timeout=5
+    )
+
+
+class TestViewerHTTP:
+    def test_state_reports_accumulation(self, viewer):
+        time.sleep(0.2)
+        state = json.loads(_get(viewer, "/state").read())
+        assert state["spp"] > 0
+        assert state["crf_name"] == "Neutral"
+
+    def test_slider_set_resets_framebuffer(self, viewer):
+        time.sleep(0.05)
+        r0 = viewer.renderer.resets
+        _get(viewer, "/set?sun_angle=120")
+        assert viewer.renderer.resets > r0
+        assert viewer.renderer.sun_angle == pytest.approx(np.radians(120.0))
+
+    def test_exposure_does_not_reset(self, viewer):
+        time.sleep(0.05)
+        r0 = viewer.renderer.resets
+        _get(viewer, "/set?exposure=4.5")
+        assert viewer.renderer.exposure == 4.5
+        assert viewer.renderer.resets == r0
+
+    def test_movement_keys_reset_and_move(self, viewer):
+        p0 = viewer.camera.position.copy()
+        _get(viewer, "/input?keys=w")
+        time.sleep(0.3)
+        _get(viewer, "/input?keys=")
+        assert not np.array_equal(viewer.camera.position, p0)
+
+    def test_save_load_roundtrip(self, viewer):
+        _get(viewer, "/set?sun_angle=77")
+        _get(viewer, "/save")
+        _get(viewer, "/set?sun_angle=10")
+        _get(viewer, "/load")
+        assert viewer.renderer.sun_angle == pytest.approx(np.radians(77.0), rel=1e-5)
+
+    def test_bad_value_returns_400(self, viewer):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(viewer, "/set?exposure=banana")
+        assert e.value.code == 400
+
+    def test_unknown_path_404(self, viewer):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(viewer, "/nonexistent")
+        assert e.value.code == 404
