@@ -19,7 +19,6 @@ put gathers on the wrong side of the ICI).
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Optional, Sequence, Tuple
 

@@ -36,17 +36,6 @@ from .params import SceneParams, TraceConfig, make_scene_params
 from .pathtracer import trace_paths
 
 
-def _pick_tile_size(total: int, target: int) -> int:
-    """Largest divisor of ``total`` that is <= target (>= 1)."""
-    best = 1
-    for d in range(1, int(math.isqrt(total)) + 1):
-        if total % d == 0:
-            for cand in (d, total // d):
-                if cand <= target and cand > best:
-                    best = cand
-    return best
-
-
 def _pick_block_dims(w: int, h: int, target: int) -> Tuple[int, int]:
     """Near-square (bw, bh) with bw | w, bh | h and bw*bh <= target.
 
