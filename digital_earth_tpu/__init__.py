@@ -15,3 +15,25 @@ file:line citations used throughout this package.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Convenience lazy exports: digital_earth_tpu.Renderer, .EarthViewer, ...
+    (lazy so importing the package never touches jax before config)."""
+    if name == "Renderer":
+        from .render.renderer import Renderer
+
+        return Renderer
+    if name == "EarthViewer":
+        from .app.viewer import EarthViewer
+
+        return EarthViewer
+    if name == "TraceConfig":
+        from .render.params import TraceConfig
+
+        return TraceConfig
+    if name == "render_offline":
+        from .app.viewer import render_offline
+
+        return render_offline
+    raise AttributeError(name)
