@@ -4,21 +4,32 @@ This is the TPU-native re-architecture of the reference megakernel
 (pathtracer.py:316-469). Instead of one thread per pixel with data-dependent
 control flow, a *wavefront* of N rays is advanced together:
 
-- ray state is structure-of-arrays ((N,3) positions/directions, (N,) scalars);
+- ray state is structure-of-arrays ((N,3) positions/directions, (N,) and
+  (N,L) scalars for L-wavelength hero packets);
 - the 25-bounce loop is a ``lax.while_loop`` with an ``alive`` mask and early
   exit once every lane has terminated;
-- the unbounded delta-/ratio-tracking loops become masked ``while_loop``s that
-  terminate when every lane has sampled its interaction;
-- the 250-step land sphere-march keeps the reference's budget but adds an
-  analytic bound-sphere cull (rays that miss the displaced sphere's bounding
-  sphere never march — a pure win unavailable to per-thread code);
-- RMO (Rayleigh/Mie/ozone) and cloud tracking are separate passes, as in the
-  reference (pathtracer.py:186,198), but the RMO pass skips the cloud-texture
-  gather entirely (the reference gathers it and multiplies by zero);
-- volume NEE and surface NEE share one merged transmittance pass per bounce;
+- the unbounded delta-/ratio-tracking loops become masked ``while_loop``s
+  drawing K speculative free-flight steps per iteration (one batched texture
+  gather resolves all of them);
+- the land march keeps the reference's budget/epsilon semantics but adds an
+  analytic bounding-sphere cull and regional skips against a dilated
+  topography max-mip carried as a second texture channel;
+- cloud tracking space-skips against its own fused majorant mip; RMO
+  (Rayleigh/Mie/ozone) and cloud passes stay separate as in the reference
+  (pathtracer.py:186,198) — run cloud-first here so hero-packet MIS weights
+  stop at the joint event — and the RMO pass needs no texture access at all;
+- volume NEE and surface NEE share one merged transmittance pass per bounce,
+  and all surface work is gated on any lane actually hitting land;
+- each path carries a hero-wavelength packet (Wilkie et al. 2014): the hero
+  drives sampling, companions ride with pdf-ratio MIS weights — ~4x the
+  spectral convergence of the reference's single-wavelength estimator;
 - all randomness is ``jax.random`` — deterministic and replayable.
 
-Every stage cites the reference lines it reproduces.
+Reference-faithful naive counterparts of every tracker live in
+render/tracking_naive.py (``TraceConfig(naive_tracking=True)``); the
+accelerated versions are validated against them statistically in
+tests/test_tracking_equiv.py. Every stage cites the reference lines it
+reproduces.
 """
 
 from __future__ import annotations
