@@ -1,0 +1,257 @@
+"""Semi-analytic atmosphere integrals: a precomputed density-integral table
+and monotone density envelopes.
+
+The reference estimates RMO (Rayleigh/Mie/ozone) transmittance by ratio
+tracking and free-flight distances by delta tracking against a *global
+sea-level* majorant (reference pathtracer.py:77-143, 336-337). Both are
+Monte-Carlo loops; for rays high in the atmosphere the sea-level majorant
+overestimates the local extinction by orders of magnitude, costing thousands
+of null collisions. But the RMO densities are smooth closed-form profiles of
+altitude only (reference lib/volume_rendering_models.py:229-267) — the
+TPU-native design replaces the loops with precomputed line integrals, the
+standard sky-rendering approach (cf. Bruneton & Neyret 2008):
+
+- ``atmos_density_table()`` tabulates, per species, the cumulative density
+  line integral F(rp, x) = ∫ rho(sqrt(rp^2 + xi^2)) dxi along a ray with
+  perigee radius rp, measured from the perigee. Any segment integral on any
+  ray is a difference of two bilinear table lookups (exploiting F's oddness
+  in x), so NEE transmittance toward the sun becomes one closed-form
+  ``exp(-k . D)`` — *zero variance*, no loop — and is exact for every
+  wavelength of a hero packet at once (the per-species density integrals D
+  are wavelength-independent; only the extinction coefficients k differ).
+
+- ``density_envelope(h)`` gives per-species monotone-from-above bounds
+  env_c(h) >= rho_c(h') for all h' >= h, enabling *local* delta-tracking
+  majorants that re-tighten as a ray ascends (the remaining segment's
+  minimum altitude is analytic), which collapses null-collision counts for
+  the space/limb rays that dominate orbital views.
+
+Delta tracking with these majorants remains exactly unbiased (any majorant
+>= the true extinction is valid); the table-based transmittance carries only
+tabulation error, validated against brute-force quadrature in
+tests/test_atmosphere_lut.py.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from . import volume as vol
+
+# Table geometry. R_LO sits below the deepest point a ray segment can reach
+# (the ocean surface is at PLANET_R; land is displaced upward), so underground
+# contamination of F cancels in all physically reachable segment differences.
+R_TOP = float(C.ATMOS_UPPER_LIMIT)
+R_LO = float(C.PLANET_R) - 8e3
+N_RP = 384  # perigee-radius rows
+N_X = 1024  # distance-from-perigee columns per row
+_BUILD_SUBSTEPS = 16  # fine integration substeps per table cell
+
+# Perigee-row allocation. F's sensitivity to rp scales with the chord
+# obliquity 1/sqrt(1 - (rp/r)^2): for a query at radius r, rows must be
+# spaced finer than ~0.2x the perigee's depth below r. Queries live at
+# r >= PLANET_R, so below the shell the required spacing grows with depth —
+# rows are log-spaced in depth d = R_LO - rp from _D_MIN down to the center.
+# Inside the shell [R_LO, R_TOP] rows are uniform at sub-km spacing.
+_N_DEEP = 120  # rows below R_LO (log-spaced depth)
+_D_MIN = 0.5e3  # shallowest log-zone depth
+_LOG_RATIO = float(np.log(R_LO / _D_MIN))
+
+
+def _index_to_rp(i):
+    """Row index (float, vectorized) -> perigee radius."""
+    i = jnp.asarray(i, dtype=jnp.float32)
+    shell = R_LO + (i - _N_DEEP) / (N_RP - 1 - _N_DEEP) * (R_TOP - R_LO)
+    t = (_N_DEEP - i) / _N_DEEP  # 1 at row 0 (rp=0) ... 0 at row _N_DEEP
+    deep = R_LO - _D_MIN * jnp.exp(t * _LOG_RATIO)
+    return jnp.where(i < _N_DEEP, deep, shell)
+
+
+def _rp_to_index(rp):
+    """Perigee radius -> continuous row index (inverse of _index_to_rp).
+    Depths shallower than _D_MIN land on the rp = R_LO row, whose
+    radius-aligned evaluation stays accurate (see _f_eval)."""
+    shell_idx = _N_DEEP + (rp - R_LO) / (R_TOP - R_LO) * (N_RP - 1 - _N_DEEP)
+    depth = jnp.clip(R_LO - rp, _D_MIN, R_LO)
+    deep_idx = _N_DEEP * (1.0 - jnp.log(depth / _D_MIN) / _LOG_RATIO)
+    return jnp.clip(
+        jnp.where(rp < R_LO - _D_MIN, deep_idx, jnp.maximum(shell_idx, _N_DEEP)),
+        0.0,
+        N_RP - 1.0,
+    )
+
+
+def _row_x_bounds(rp):
+    """Per-row x-grid bounds: [x_lo, x_hi] spans exactly the radii where the
+    atmosphere lives (R_LO..R_TOP), so every row resolves the shell."""
+    x_lo = jnp.sqrt(jnp.maximum(R_LO * R_LO - rp * rp, 0.0))
+    x_hi = jnp.sqrt(jnp.maximum(R_TOP * R_TOP - rp * rp, 0.0))
+    return x_lo, x_hi
+
+
+@lru_cache(maxsize=1)
+def atmos_density_table():
+    """(N_RP, N_X, 3) float32: cumulative per-species density integrals
+    F_c(rp_i, x_j) = ∫_{x_lo(i)}^{x_j} rho_c(sqrt(rp_i^2 + xi^2)) dxi,
+    on each row's uniform x-grid over [x_lo(i), x_hi(i)].
+
+    Built once by fine trapezoid quadrature (_BUILD_SUBSTEPS per cell) of the
+    closed-form density profiles (models/volume.py:303-348)."""
+    i = np.arange(N_RP, dtype=np.float64)
+    rp = np.asarray(_index_to_rp(i), dtype=np.float64)
+    x_lo = np.sqrt(np.maximum(R_LO * R_LO - rp * rp, 0.0))
+    x_hi = np.sqrt(np.maximum(R_TOP * R_TOP - rp * rp, 0.0))
+    n_fine = (N_X - 1) * _BUILD_SUBSTEPS + 1
+    frac = np.linspace(0.0, 1.0, n_fine)
+    xs = x_lo[:, None] + (x_hi - x_lo)[:, None] * frac[None, :]  # (N_RP, n_fine)
+    r = np.sqrt(rp[:, None] ** 2 + xs**2)
+    h = np.maximum(r - C.PLANET_R, 0.0)
+    rho = np.stack(
+        [
+            np.asarray(vol.get_rayl_density(h)),
+            np.asarray(vol.get_mie_density(h)),
+            np.asarray(vol.get_ozone_density(h)),
+        ],
+        axis=-1,
+    ).astype(np.float64)  # (N_RP, n_fine, 3)
+    dx = ((x_hi - x_lo) / (n_fine - 1))[:, None, None]
+    cells = 0.5 * (rho[:, 1:] + rho[:, :-1]) * dx
+    f_fine = np.concatenate(
+        [np.zeros((N_RP, 1, 3)), np.cumsum(cells, axis=1)], axis=1
+    )
+    table = f_fine[:, ::_BUILD_SUBSTEPS].astype(np.float32)  # (N_RP, N_X, 3)
+    return jnp.asarray(table)
+
+
+def _f_eval(table, rp, x_abs):
+    """Bilinear F(rp, |x|) -> (..., 3) per-species integrals from perigee-side
+    start.
+
+    Interpolation across perigee rows is *radius-aligned*: each bracketing
+    row is evaluated at the x whose radius equals the query's radius
+    (xi^2 = x^2 + (rp - rp_i)(rp + rp_i), a cancellation-free form), because
+    F at fixed radius varies slowly with rp while F at fixed x does not —
+    the density is a steep function of radius. x below/above a row's grid
+    clamps to 0 / the row's full integral."""
+    i_f = _rp_to_index(rp)
+    i0 = jnp.clip(jnp.floor(i_f).astype(jnp.int32), 0, N_RP - 2)
+    wi = (i_f - i0.astype(i_f.dtype))[..., None]
+
+    def row_val(i):
+        rp_i = _index_to_rp(i)
+        xi = jnp.sqrt(
+            jnp.maximum(x_abs * x_abs + (rp - rp_i) * (rp + rp_i), 0.0)
+        )
+        x_lo, x_hi = _row_x_bounds(rp_i)
+        u = jnp.clip(
+            (xi - x_lo) / jnp.maximum(x_hi - x_lo, 1.0), 0.0, 1.0
+        ) * (N_X - 1)
+        j0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, N_X - 2)
+        wj = (u - j0.astype(u.dtype))[..., None]
+        v0 = table[i, j0]
+        v1 = table[i, j0 + 1]
+        return v0 * (1.0 - wj) + v1 * wj
+
+    return row_val(i0) * (1.0 - wi) + row_val(i0 + 1) * wi
+
+
+def _ray_perigee(pos, direction):
+    """(rp, x0): perigee radius and the signed distance of ``pos`` from the
+    perigee along the ray. Computed from the cross product, which stays
+    well-conditioned in float32 where r^2 - (p.d)^2 would cancel."""
+    cr = jnp.cross(pos, direction)
+    rp = jnp.sqrt(jnp.sum(cr * cr, axis=-1))
+    x0 = jnp.sum(pos * direction, axis=-1)
+    return rp, x0
+
+
+def density_integral_to_space(pos, direction, table=None):
+    """(..., 3) per-species density line integrals from ``pos`` along
+    ``direction`` to the top of the atmosphere (the ray must not hit the
+    planet — NEE callers exclude occluded rays first)."""
+    if table is None:
+        table = atmos_density_table()
+    rp, x0 = _ray_perigee(pos, direction)
+    f_end = _f_eval(table, rp, jnp.full_like(rp, 2.0 * R_TOP))  # full row
+    f0 = jnp.sign(x0)[..., None] * _f_eval(table, rp, jnp.abs(x0))
+    return jnp.maximum(f_end - f0, 0.0)
+
+
+def density_integral_segment(pos, direction, t0, t1, table=None):
+    """(..., 3) per-species density integrals over ray parameter [t0, t1]."""
+    if table is None:
+        table = atmos_density_table()
+    rp, xp = _ray_perigee(pos, direction)
+    x0 = t0 + xp
+    x1 = t1 + xp
+    f0 = jnp.sign(x0)[..., None] * _f_eval(table, rp, jnp.abs(x0))
+    f1 = jnp.sign(x1)[..., None] * _f_eval(table, rp, jnp.abs(x1))
+    return jnp.maximum(f1 - f0, 0.0)
+
+
+def rmo_transmittance_to_space(ext_rmo, pos, direction, table=None):
+    """Exact per-wavelength RMO transmittance from ``pos`` to space.
+
+    ext_rmo: (n, L, 3) per-wavelength extinction coefficients; returns
+    (n, L) = exp(-sum_c k_c(lambda) * D_c). Replaces the reference's
+    ratio-tracked sun transmittance (pathtracer.py:117-143) with a
+    zero-variance closed form."""
+    d = density_integral_to_space(pos, direction, table)  # (n, 3)
+    tau = jnp.einsum("nlc,nc->nl", ext_rmo, d)
+    return jnp.exp(-tau)
+
+
+# ---------------------------------------------------------------------------
+# Monotone density envelopes for local delta-tracking majorants
+# ---------------------------------------------------------------------------
+
+# Ozone profile peak (reference volume_rendering_models.py:229-246 peaks at
+# OZONE_PEAK_HEIGHT); evaluated once, with margin for the cubic low-altitude
+# term's contribution near the peak.
+_O3_ENV_PEAK = float(
+    np.max(np.asarray(vol.get_ozone_density(np.linspace(0.0, 60e3, 4096))))
+)
+# The aerosol profile's OPAC branches are each monotone-decreasing for h >= 0
+# but the h=11500 branch switch steps *up* by a hair; the high branch never
+# exceeds this plateau (reference volume_rendering_models.py:254-267).
+_MIE_ENV_PLATEAU = 0.0918 * float(C.TURBIDITY)
+
+
+# The OPAC mie profile's Gaussian tails fall several %/meter at altitude, so
+# sub-meter float32 rounding in a segment's minimum radius could nudge the
+# density above a margin-free envelope. Evaluating the envelope a few meters
+# low guarantees majorization (a slightly loose majorant is still unbiased).
+_ENV_SAFETY_M = 8.0
+
+
+def density_envelope(h):
+    """(..., 3) per-species envelopes: env_c(h) >= rho_c(h') for all h' >= h
+    (up to float32 rounding of h, absorbed by _ENV_SAFETY_M).
+
+    Used to build *local* delta-tracking majorants from the minimum altitude
+    of the remaining ray segment. Rayleigh's Gaussian fit peaks below sea
+    level, so its own value is the envelope; mie needs the branch-switch
+    plateau; ozone is flat at its peak value below the peak altitude."""
+    h = jnp.maximum(h - _ENV_SAFETY_M, 0.0)
+    env_r = vol.get_rayl_density(h)
+    env_m = jnp.maximum(
+        vol.get_mie_density(h),
+        jnp.where(h <= 11500.0, _MIE_ENV_PLATEAU, 0.0),
+    )
+    env_o = jnp.where(
+        h < C.OZONE_PEAK_HEIGHT, _O3_ENV_PEAK, vol.get_ozone_density(h)
+    )
+    return jnp.stack([env_r, env_m, env_o], axis=-1)
+
+
+def segment_min_radius(rp, x_t, x_e):
+    """Minimum radius over the sub-segment with perigee-frame coordinates
+    [x_t, x_e] (x_t <= x_e): the perigee if the segment spans it, else the
+    endpoint nearer the perigee."""
+    spans = (x_t < 0.0) & (x_e > 0.0)
+    end_min = jnp.sqrt(rp * rp + jnp.minimum(x_t * x_t, x_e * x_e))
+    return jnp.where(spans, rp, end_min)
