@@ -25,7 +25,7 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--spp", type=int, default=2, help="timed spp after warmup")
-    ap.add_argument("--tile", type=int, default=1600)
+    ap.add_argument("--tile", type=int, default=800)
     ap.add_argument("--texture-res", type=int, default=1024)
     ap.add_argument("--out", default=None, help="optionally save the frame PNG")
     args = ap.parse_args()

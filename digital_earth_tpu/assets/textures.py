@@ -73,13 +73,17 @@ class TextureAtlas(NamedTuple):
               topography, clouds] — one row gather per surface-material tap
               instead of the reference's 4+ separate texture samples
               (reference pathtracer.py:284-313).
-    topography: single-channel copy for the in-loop land march.
-    clouds:   2-channel pack [cloud map, dilated coarse max-mip upsampled to
-              full res]. One row gather returns both the fine density sample
-              AND a conservative local majorant valid within
-              CLOUD_MIP_DILATE_KM of the tap — the space-skipping cloud
+    topography: 4-channel pack [height, fine max-mip, coarse max-mip, 0]
+              for the in-loop land march: one row gather returns the SDF
+              height AND two conservative regional height bounds (valid
+              within MIP_FINE_VALID_KM / MIP_COARSE_VALID_KM of the tap) for
+              analytic sphere skips at two scales.
+    clouds:   4-channel pack [cloud map, fine max-mip, coarse max-mip, 0].
+              The fine mip is the local Woodcock majorant and certifies
+              short skips through broken clouds; the coarse mip certifies
+              ~100 km strides through clear sky — the space-skipping cloud
               tracker (render/pathtracer._track_cloud) pays zero extra
-              gathers for its majorant.
+              gathers for either.
     stars:    3-channel background (reference pathtracer.py:461).
     """
 
@@ -89,17 +93,23 @@ class TextureAtlas(NamedTuple):
     stars: Tex2D
 
 
-# Majorant mip geometry: must match the skip strides in render/pathtracer.py
-CLOUD_MIP_H, CLOUD_MIP_W = 128, 256
-CLOUD_MIP_DILATE_KM = 130.0  # > 2x the 60 km tracking segment length
-TOPO_MIP_DILATE_KM = 130.0  # validity radius of the land-march regional bound
+# Majorant mip geometry. A tap certifies a bound within the VALID radius; the
+# build dilation exceeds it by at least one cell at every mip resolution
+# (taps can sit anywhere inside their cell). Must match the skip strides in
+# render/pathtracer.py.
+MIP_FINE_H = 1024  # ~20 km cells at full resolution (fewer on tiny maps)
+MIP_COARSE_H = 128  # ~156 km cells
+MIP_FINE_VALID_KM = 25.0
+MIP_COARSE_VALID_KM = 115.0
+MIP_FINE_DILATE_KM = 45.0
+MIP_COARSE_DILATE_KM = 130.0
 
 
 def build_max_mip(
     img: np.ndarray,
     dilate_km: float,
-    mip_h: int = CLOUD_MIP_H,
-    mip_w: int = CLOUD_MIP_W,
+    mip_h: int = MIP_COARSE_H,
+    mip_w: int = 2 * MIP_COARSE_H,
     shell_r: float = 6371e3 + 10e3,
 ) -> np.ndarray:
     """Coarse (mip_h, mip_w) max-pool of a scalar map, dilated so that the
@@ -137,7 +147,7 @@ def build_max_mip(
 
 
 def build_cloud_mip(clouds: np.ndarray) -> np.ndarray:
-    return build_max_mip(clouds, CLOUD_MIP_DILATE_KM)
+    return build_max_mip(clouds, MIP_COARSE_DILATE_KM)
 
 
 def _resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -163,23 +173,32 @@ def build_atlas(arrays: dict) -> TextureAtlas:
         ],
         axis=-1,
     )
-    def with_mip(img, dilate_km):
-        """(H, W, 2) uint8: [fine map, dilated coarse max-mip upsampled],
-        ceil-quantized so the mip stays a conservative upper bound."""
+    def with_mips(img):
+        """(H, W, 4) uint8: [map, fine max-mip, coarse max-mip, 0], each mip
+        upsampled to full resolution and ceil-quantized so it stays a
+        conservative upper bound. (A packed-u32 element-gather layout was
+        measured 45% slower end-to-end than this row-gather layout.)"""
         if img.ndim == 3:
             img = img[..., 0]
-        mip = build_max_mip(img, dilate_km)
-        mip_up = _resize_nearest(
-            (mip * 255.0 + 0.999).clip(0, 255).astype(np.uint8),
-            img.shape[0],
-            img.shape[1],
-        )
-        return np.stack([img, mip_up], axis=-1)
+        ih, iw = img.shape
+
+        def mip_channel(mip_h, dilate_km):
+            mip = build_max_mip(
+                img, dilate_km, mip_h=mip_h, mip_w=2 * mip_h
+            )
+            return _resize_nearest(
+                (mip * 255.0 + 0.999).clip(0, 255).astype(np.uint8), ih, iw
+            )
+
+        fine = mip_channel(MIP_FINE_H, MIP_FINE_DILATE_KM)
+        coarse = mip_channel(MIP_COARSE_H, MIP_COARSE_DILATE_KM)
+        zero = np.zeros_like(img)
+        return np.stack([img, fine, coarse, zero], axis=-1)
 
     return TextureAtlas(
         material=Tex2D.from_array(mat),
-        topography=Tex2D.from_array(with_mip(arrays["topography"], TOPO_MIP_DILATE_KM)),
-        clouds=Tex2D.from_array(with_mip(arrays["clouds"], CLOUD_MIP_DILATE_KM)),
+        topography=Tex2D.from_array(with_mips(arrays["topography"])),
+        clouds=Tex2D.from_array(with_mips(arrays["clouds"])),
         stars=Tex2D.from_array(arrays["stars"][..., :3]),
     )
 

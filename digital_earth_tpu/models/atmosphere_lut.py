@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -100,7 +101,14 @@ def atmos_density_table():
     on each row's uniform x-grid over [x_lo(i), x_hi(i)].
 
     Built once by fine trapezoid quadrature (_BUILD_SUBSTEPS per cell) of the
-    closed-form density profiles (models/volume.py:303-348)."""
+    closed-form density profiles (models/volume.py:303-348). The first call
+    may come from inside a jit trace, so the numeric build is forced eager.
+    """
+    with jax.ensure_compile_time_eval():
+        return _build_table()
+
+
+def _build_table():
     i = np.arange(N_RP, dtype=np.float64)
     rp = np.asarray(_index_to_rp(i), dtype=np.float64)
     x_lo = np.sqrt(np.maximum(R_LO * R_LO - rp * rp, 0.0))

@@ -69,11 +69,19 @@ class TraceConfig:
     # Speculative free-flight steps drawn per tracking-loop iteration (one
     # batched texture gather resolves all of them).
     tracking_k: int = 4
+    # Speculative probes per land-march iteration (same batching idea; the
+    # march amortizes its fixed gather latency over more probes).
+    march_k: int = 4
     # Hero-wavelength packet size: wavelengths traced per path (Wilkie et al.
     # 2014 spectral MIS). 1 = the reference's single-wavelength estimator;
     # 4 amortizes the path's geometry/tracking over 4 spectral samples,
     # collapsing chroma noise for ~1.2x the cost.
     hero_lambdas: int = 4
+    # NEE transmittance through the RMO gases from the precomputed
+    # density-integral table (models/atmosphere_lut.py): exact closed form,
+    # zero variance, no tracking loop. False falls back to ratio tracking
+    # (the reference's estimator, pathtracer.py:117-143) for validation.
+    analytic_transmittance: bool = True
     # Reference-faithful mode: one-step global-majorant trackers and the
     # plain sphere march (render/tracking_naive.py) instead of the
     # accelerated implementations. Slower; for parity checks and debugging.

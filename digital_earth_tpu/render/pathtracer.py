@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as C
+from ..models import atmosphere_lut as atm
 from ..models import surface as srf
 from ..models import volume as vol
 from ..ops import math_utils as mu
@@ -101,12 +102,14 @@ def land_normal(topo, pos, scale, bilinear=True):
     return mu.normalize(n)
 
 
-# Validity radius of the topography max-mip (assets/textures.TOPO_MIP_DILATE_KM
-# minus margin): a mip tap bounds the displacement within this distance.
-_TOPO_MIP_VALID = 115e3
+# Validity radii of the two topography max-mips (assets/textures.py
+# MIP_*_VALID_KM): a mip tap bounds the displacement within these distances.
+_MIP_VALID_FINE = 25e3
+_MIP_VALID_COARSE = 115e3
 
 
-def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig):
+def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
+                   t_cap=None):
     """Sphere-march against the displaced sphere with regional analytic skips.
 
     Semantics follow reference pathtracer.py:27-46 (march budget, relative
@@ -117,24 +120,35 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig):
       displaced surface (radius planet_r + height_scale) never march; the
       march starts at the bounding-sphere entry and is a miss once the ray
       leaves the bounding shell;
-    - regional skips: each tap of the 2-channel topography texture also
-      returns a dilated coarse max of the heightmap. Within the mip's
-      validity radius the terrain lies below radius planet_r +
+    - two-level regional skips: each tap of the 4-channel topography texture
+      also returns dilated maxes of the heightmap at two scales (~20 km
+      cells valid within 25 km, ~156 km cells valid within 115 km). Within a
+      mip's validity radius the terrain lies below radius planet_r +
       scale*mip_max, so the ray may safely advance to its analytic
       intersection with that sphere (or the full validity radius when it
-      misses). Grazing limb rays over ocean advance ~100 km per tap instead
-      of crawling at SDF scale — this is what bounds the march, which
-      otherwise costs ~200 taps per bounce for limb/shadow rays;
+      misses); the step takes the better of the two certified skips. Grazing
+      limb rays over ocean ride the coarse level ~100 km per tap, and rays
+      over lowlands near mountains ride the fine level instead of crawling
+      at SDF scale;
     - a step floor of a quarter texel arc (features narrower than a texel
       cannot exist in the bilinear heightfield);
     - reference-style negative-SDF backtrack (a probe inside the terrain
-      retreats by its SDF, oscillating onto the boundary).
+      retreats by its SDF, oscillating onto the boundary);
+    - *speculative K-probe stepping*: each iteration places K probes at the
+      lane's adaptive stride (last applied step) and resolves them with ONE
+      batched texture gather. A probe chains to the next only while its
+      certified free distance covers the stride, so grazing terrain-parallel
+      lanes retire K quarter-texel steps per iteration and open-ocean lanes
+      retire K ~100 km skips — quartering the dominant per-iteration fixed
+      costs (gather latency + loop bookkeeping) in both regimes.
 
     Returns hit distance, -1.0 on miss.
     """
     n = pos.shape[0]
     if not cfg.enable_land:
         return jnp.full((n,), -1.0)
+    k = cfg.march_k
+    arange_k = jnp.arange(k)[:, None].astype(jnp.float32)
     step_floor = math.pi * C.PLANET_R / topo.w * 0.25  # quarter-texel arc
 
     bound_near, bound_far = mu.rsi(pos, direction, C.PLANET_R + scale)
@@ -142,44 +156,73 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig):
     t0 = jnp.maximum(bound_near, 0.0)
     max_ray_dist = C.PLANET_R * 10.0
     miss_beyond = jnp.minimum(bound_far + 1.0, max_ray_dist)
+    if t_cap is not None:
+        # a free-flight event at t_cap truncates the march: anything beyond
+        # it is the volume event's business, not the surface's
+        miss_beyond = jnp.minimum(miss_beyond, t_cap)
+        may_hit = may_hit & (t0 < t_cap)
 
     def cond(s):
-        i, _, done, _ = s
+        i, _, _, done, _ = s
         return (i < cfg.land_march_steps) & jnp.any(~done)
 
-    def substep(t, done, missed):
-        ro = pos + t[:, None] * direction
+    def body(s):
+        i, t, stride, done, missed = s
+        ts = t[None, :] + arange_k * stride[None, :]  # (k, n) probe params
+        ro = pos[None] + ts[..., None] * direction[None]
         sample = tx.sample_sphere_texture(topo, ro, bilinear=cfg.bilinear_tracking)
         f = mu.length(ro) - C.PLANET_R - scale * sample[..., 0]
-        # regional analytic skip against the mip-bound sphere
-        r_bound = C.PLANET_R + scale * sample[..., 1]
-        b_near, b_far = mu.rsi(ro, direction, r_bound)
-        s_region = jnp.where(
-            b_near > 0.0,
-            jnp.minimum(b_near, _TOPO_MIP_VALID),
-            jnp.where(b_far < 0.0, _TOPO_MIP_VALID, 0.0),
+
+        # certified regional skips against the two mip-bound spheres
+        def regional_skip(mip_val, valid):
+            r_bound = C.PLANET_R + scale * mip_val
+            b_near, b_far = mu.rsi(ro, direction, r_bound)
+            return jnp.where(
+                b_near > 0.0,
+                jnp.minimum(b_near, valid),
+                jnp.where(b_far < 0.0, valid, 0.0),
+            )
+
+        s_region = jnp.maximum(
+            regional_skip(sample[..., 1], _MIP_VALID_FINE),
+            regional_skip(sample[..., 2], _MIP_VALID_COARSE),
         )
         step = jnp.where(
             f < 0.0, f, jnp.maximum(jnp.maximum(f, s_region), step_floor)
-        )
-        t_new = t + step
-        converged = jnp.abs(f) < t * 1e-4
-        out = t_new > miss_beyond
-        missed = missed | ((~done) & out & ~converged)
-        t = jnp.where(done | converged, t, t_new)
-        done = done | converged | out
-        return t, done, missed
+        )  # (k, n)
+        converged = jnp.abs(f) < ts * 1e-4
+        out = ts > miss_beyond[None, :]
+        # probe j stops the sweep if it terminates (converged/left the shell)
+        # or cannot certify the stride to probe j+1
+        terminal = converged | out
+        stop_k = terminal | (step < stride[None, :])
+        any_stop = jnp.any(stop_k, axis=0)
+        first = jnp.argmax(stop_k, axis=0)
+        pick = (arange_k == first[None, :].astype(jnp.float32)).astype(step.dtype)
+        psel = lambda a: jnp.sum(a * pick, axis=0)
 
-    def body(s):
-        i, t, done, missed = s
-        # 2 sequential steps per while iteration: halves the loop-condition
-        # reduction and loop bookkeeping, which dominate at small tiles
-        t, done, missed = substep(t, done, missed)
-        t, done, missed = substep(t, done, missed)
-        return i + 2, t, done, missed
+        t_stop = psel(ts)
+        step_stop = psel(step)
+        conv_stop = psel(converged.astype(step.dtype)) > 0.5
+        out_stop = psel(out.astype(step.dtype)) > 0.5
+        # stopped lanes: converged stay at the probe; short-steppers advance
+        # (or retreat) by their own step. Full sweeps take the last probe's
+        # full step on top of the chained strides.
+        t_stopped = jnp.where(conv_stop | out_stop, t_stop, t_stop + step_stop)
+        t_full = ts[-1] + step[-1]
+        t_new = jnp.where(any_stop, t_stopped, t_full)
+        applied = jnp.where(any_stop, step_stop, step[-1])
+        stride_new = jnp.maximum(applied, step_floor)
 
-    _, t, _, missed = jax.lax.while_loop(
-        cond, body, (0, t0, ~may_hit, ~may_hit)
+        newly_done = any_stop & (conv_stop | out_stop)
+        missed = missed | ((~done) & any_stop & out_stop & ~conv_stop)
+        t = jnp.where(done, t, jnp.where(newly_done, t_stop, t_new))
+        stride = jnp.where(done | newly_done, stride, stride_new)
+        done = done | newly_done
+        return i + k, t, stride, done, missed
+
+    _, t, _, _, missed = jax.lax.while_loop(
+        cond, body, (0, t0, jnp.full((n,), step_floor), ~may_hit, ~may_hit)
     )
     # reference semantics: anything that neither left the shell nor exceeded
     # the cap distance counts as a hit (pathtracer.py:46)
@@ -226,38 +269,54 @@ def _delta_track_rmo(
     densities — no texture access). Each loop iteration draws K speculative
     free-flight steps at once and resolves the first terminal one.
 
+    The majorant is *local*: each iteration rebuilds it from the density
+    envelopes (models/atmosphere_lut.density_envelope) at the minimum
+    altitude of the *remaining* segment, so a ray high in the atmosphere
+    steps at its local mean free path instead of the sea-level one the
+    reference uses globally (pathtracer.py:336-337) — orders of magnitude
+    fewer null collisions for space/limb rays, still exactly unbiased
+    (exponential memorylessness permits majorant switches between steps).
+
     Hero-wavelength aware: ``extinctions`` is (n, L, 3); sampling decisions
     (distances, species, scatter-vs-absorb) are driven by the hero wavelength
-    (index 0), whose extinction ``max_extinction`` must majorize every packet
-    member. Returns (event, t, interaction_id, w_mult) where w_mult (n, L)
-    is the product of per-collision pdf ratios p(event | lambda_j)/p(event |
-    lambda_hero) — the Wilkie-style spectral MIS weight update (null
-    collisions contribute (1-sigma_j/maj)/(1-sigma_h/maj); a real collision
-    contributes sigma_species_j/sigma_species_h).
+    (index 0), so the local majorant only needs to bound the *hero*
+    extinction. Companion weights are NOT accumulated per collision (the
+    per-collision likelihood-ratio product explodes when a tight majorant
+    makes the hero's null probability small); the *marginal* event pdf ratio
+    is computed in closed form afterwards (see spectral_flight_weights),
+    which is the conditional expectation of the per-collision product — same
+    estimator in expectation, strictly lower variance, exact per member.
+
+    Returns (event, t, interaction_id).
     """
     n = t_start.shape[0]
     L = extinctions.shape[1]
     k = cfg.tracking_k
     valid = active & (t_max >= 0.0) & (t_start < t_max)
-    inv_max = 1.0 / max_extinction
     t_max_safe = jnp.maximum(t_max, 0.0)
     arange_k = jnp.arange(k)[:, None]
+    ext_h = extinctions[:, 0, :]  # (n, 3) hero extinction coefficients
+    # perigee frame of each ray, for remaining-segment minimum altitudes
+    rp, xp = atm._ray_perigee(ray_pos, ray_dir)
+    x_end = t_max_safe + xp
 
     def cond(s):
         i, done = s[0], s[3]
         return (i < cfg.max_tracking_steps) & jnp.any(~done)
 
     def body(s):
-        i, key, t, done, event, iid, w = s
+        i, key, t, done, event, iid = s
         key, k1 = jax.random.split(key)
         u = jax.random.uniform(k1, (3, k, n))
+        # local hero majorant over the remaining segment [t, t_max]
+        r_min = atm.segment_min_radius(rp, t + xp, x_end)
+        env = atm.density_envelope(r_min - C.PLANET_R)  # (n, 3)
+        inv_max = 1.0 / jnp.maximum(jnp.sum(ext_h * env, axis=-1), 1e-20)
         steps = -jnp.log(jnp.maximum(u[0], 1e-12)) * inv_max  # (k, n)
         ts = t[None, :] + jnp.cumsum(steps, axis=0)
         pos = ray_pos[None] + jnp.minimum(ts, t_max_safe)[..., None] * ray_dir[None]
         dens = vol.get_density(vol.get_elevation(pos))  # (k, n, 3)
-        ext_sample = extinctions[None] * dens[:, :, None, :]  # (k, n, L, 3)
-        total = jnp.sum(ext_sample, axis=-1)  # (k, n, L)
-        total_h = total[..., 0]
+        total_h = jnp.einsum("knc,nc->kn", dens, ext_h)
         over_k = ts >= t_max
         real_k = u[1] < total_h * inv_max
         stop_k = over_k | real_k
@@ -269,10 +328,10 @@ def _delta_track_rmo(
         over = psel(over_k.astype(ts.dtype)) > 0.5
         # species CMF over (rayleigh, mie, ozone) at the stopping probe,
         # decided by the hero extinctions (reference pathtracer.py:102-106)
-        ext_stop = jnp.einsum("kn,knlc->nlc", pick, ext_sample)  # (n, L, 3)
-        r = psel(u[1]) * max_extinction
-        c0 = ext_stop[:, 0, 0]
-        c01 = c0 + ext_stop[:, 0, 1]
+        ext_stop = jnp.einsum("kn,knc->nc", pick, dens) * ext_h  # (n, 3)
+        r = psel(u[1]) / inv_max
+        c0 = ext_stop[:, 0]
+        c01 = c0 + ext_stop[:, 1]
         iid_new = jnp.where(
             r < c0, C.RAYLEIGH_ID, jnp.where(r < c01, C.MIE_ID, C.OZONE_ID)
         )
@@ -284,28 +343,9 @@ def _delta_track_rmo(
             hit, jnp.where(scatters, SCATTER_EVENT, ABSORB_EVENT), event
         )
         iid = jnp.where(hit, iid_new, iid)
-
-        # --- spectral MIS weight update (no-op when L == 1) ---
-        if L > 1:
-            # null-collision ratios for probes strictly before the stop
-            is_null = (arange_k < first[None, :]) | (~any_stop)[None, :]
-            null_num = jnp.maximum(1.0 - total * inv_max[None, :, None], 0.0)
-            null_den = jnp.maximum(
-                1.0 - total_h * inv_max[None, :], 1e-6
-            )[..., None]
-            null_ratio = jnp.where(
-                (is_null & (~done)[None, :])[..., None], null_num / null_den, 1.0
-            )
-            w_new = w * jnp.prod(null_ratio, axis=0)
-            # real collision: species-extinction ratio at the event
-            sp_pick = jax.nn.one_hot(jnp.minimum(iid_new, 2), 3, dtype=ts.dtype)
-            sp_j = jnp.einsum("nlc,nc->nl", ext_stop, sp_pick)
-            sp_ratio = sp_j / jnp.maximum(sp_j[:, :1], 1e-20)
-            w_new = jnp.where(hit[:, None], w_new * sp_ratio, w_new)
-            w = w_new
         t = jnp.where(done, t, t_sel)
         done = done | ((~done) & any_stop)
-        return i + 1, key, t, done, event, iid, w
+        return i + 1, key, t, done, event, iid
 
     init = (
         0,
@@ -314,10 +354,37 @@ def _delta_track_rmo(
         ~valid,
         jnp.full((n,), NULL_EVENT, dtype=jnp.int32),
         jnp.zeros((n,), dtype=jnp.int32),
-        jnp.ones((n, L)),
     )
-    _, _, t, _, event, iid, w = jax.lax.while_loop(cond, body, init)
-    return event, t, iid, w
+    _, _, t, _, event, iid = jax.lax.while_loop(cond, body, init)
+    return event, t, iid
+
+
+def spectral_flight_weights(
+    ray_pos, ray_dir, t_start, t_end, extinctions, iid, rmo_collision, active
+):
+    """Closed-form hero-packet MIS weight for this bounce's flight outcome.
+
+    The marginal pdf ratio of the observed outcome under wavelength j vs the
+    hero (Wilkie et al. 2014 spectral MIS):
+
+        escape / surface hit / cloud event at t:  exp(-(tau_j - tau_h)(t))
+        RMO collision of species s at t:  (k_s(lambda_j) / k_s(lambda_h))
+                                           * exp(-(tau_j - tau_h)(t))
+
+    (species density cancels; cloud extinction is wavelength-flat so cloud
+    events carry only the RMO transmittance ratio). tau differences come
+    from the density-integral table — exact, zero extra variance.
+    ``t_end`` is the effective endpoint: event distance, land hit, or the
+    RMO span end for escapes. Returns (n, L)."""
+    t_end = jnp.maximum(t_end, t_start)
+    d_seg = atm.density_integral_segment(ray_pos, ray_dir, t_start, t_end)
+    tau = jnp.einsum("nlc,nc->nl", extinctions, d_seg)
+    w = jnp.exp(-(tau - tau[:, :1]))
+    sp_pick = jax.nn.one_hot(jnp.minimum(iid, 2), 3, dtype=w.dtype)
+    k_sp = jnp.einsum("nlc,nc->nl", extinctions, sp_pick)
+    sp_ratio = k_sp / jnp.maximum(k_sp[:, :1], 1e-20)
+    w = jnp.where(rmo_collision[:, None], w * sp_ratio, w)
+    return jnp.where(active[:, None], w, 1.0)
 
 
 def _ratio_track_rmo(
@@ -363,12 +430,14 @@ def _ratio_track_rmo(
     return trans
 
 
-# Cloud majorant-mip geometry: the mip channel of atlas.clouds is dilated by
-# CLOUD_MIP_DILATE_KM (assets/textures.build_cloud_mip), so a tap at position
-# p bounds the density within that radius. Tracking stays within a safety
-# margin of the last tap; empty space is skipped in strides of _CLOUD_SKIP.
-_CLOUD_VALID = 115e3  # < 130 km dilation, with margin
-_CLOUD_SKIP = 100e3
+# Cloud majorant-mip geometry: the two mip channels of atlas.clouds are
+# dilated maxes (assets/textures.py MIP_*_DILATE_KM), so a tap at position p
+# bounds the density within the corresponding validity radius. Tracking stays
+# within the fine mip's validity of the last tap; certified-empty space is
+# skipped at the fine stride near clouds and the coarse stride in clear sky.
+_CLOUD_VALID = 25e3  # fine-mip validity: tracking/fine-skip certification
+_CLOUD_SKIP_FINE = 20e3
+_CLOUD_SKIP_COARSE = 100e3  # < 115 km coarse-mip validity
 
 
 def _track_cloud(
@@ -377,22 +446,26 @@ def _track_cloud(
 ):
     """Space-skipping cloud tracking (mode = 'delta' or 'ratio').
 
-    Spatially-varying-majorant tracking with the majorant fused into the
-    texture fetch: every tap of the 2-channel cloud texture returns the fine
-    column-height sample AND a dilated-max mip value that conservatively
-    bounds the density within _CLOUD_VALID of the tap. Per loop iteration:
+    Spatially-varying-majorant tracking with a two-level majorant ladder
+    fused into the texture fetch: every tap of the 4-channel cloud texture
+    returns the fine column-height sample AND dilated-max mips at two scales
+    (fine: ~20 km cells valid within 25 km; coarse: ~156 km cells valid
+    within 115 km). Per loop iteration, each lane is in one of three modes:
 
-    - lanes with a zero local majorant probe K points spaced _CLOUD_SKIP
-      apart and jump past certified-empty space (limb chords through clear
-      sky cost ~chord/400km iterations instead of sigma_max*chord steps);
-    - lanes with a positive local majorant take K speculative Woodcock steps
-      (clamped to the majorant's validity radius) and resolve the first
-      terminal one.
+    - coarse-skip (last tap's coarse mip = 0): K probes spaced 100 km jump
+      past certified-clear sky — limb chords through clear atmosphere cost
+      ~chord/400 km iterations;
+    - fine-skip (coarse > 0 but fine = 0): K probes spaced 20 km thread the
+      gaps of broken cloud fields;
+    - tracking (fine > 0): K speculative Woodcock steps against the *local*
+      fine majorant, clamped to its validity radius.
 
-    Unbiased: the mip is a true local upper bound, steps never leave its
-    validity region, and majorant switches exploit exponential memorylessness.
-    The reference tracks the whole chord against the global majorant
-    (pathtracer.py:77-143) — thousands of steps for limb rays.
+    Mode transitions come for free from the stop tap's mip values. Unbiased:
+    every jump is through a region its certifying tap bounds, Woodcock steps
+    never leave their majorant's validity region, and majorant switches
+    exploit exponential memorylessness. The reference tracks the whole chord
+    against the global majorant (pathtracer.py:77-143) — thousands of steps
+    for limb rays.
     """
     n = t_start.shape[0]
     k = cfg.tracking_k
@@ -402,9 +475,10 @@ def _track_cloud(
     arange_k = jnp.arange(k)[:, None]
 
     def majorant(mip_val):
+        """Per-lane local majorant from a fine-mip value (0 where clear)."""
         return jnp.where(
             mip_val > 0.0,
-            ext_w[None, :] * C.CLOUDS_DENSITY * jnp.maximum(mip_val, 0.4),
+            ext_w * C.CLOUDS_DENSITY * jnp.maximum(mip_val, 0.4),
             0.0,
         )
 
@@ -413,16 +487,17 @@ def _track_cloud(
         return (i < cfg.max_tracking_steps) & jnp.any(~done)
 
     def body(s):
-        i, key, t, done, t_fetch, sig_loc, event, trans = s
+        i, key, t, done, t_fetch, sig_loc, stride, event, trans = s
         key, k1 = jax.random.split(key)
         u = jax.random.uniform(k1, (3, k, n))
 
         skipping = sig_loc <= 0.0
         budget_end = jnp.minimum(t_fetch + _CLOUD_VALID, t_max)
 
-        # probe positions: skip-probes at fixed strides (first at the current
-        # position: its tap certifies the zone ahead), or Woodcock steps
-        skip_ts = t[None, :] + arange_k.astype(jnp.float32) * _CLOUD_SKIP
+        # probe positions: skip-probes at the lane's stride (first at the
+        # current position: its tap re-certifies the zone ahead), or
+        # speculative Woodcock steps
+        skip_ts = t[None, :] + arange_k.astype(jnp.float32) * stride[None, :]
         steps = -jnp.log(jnp.maximum(u[0], 1e-12)) / jnp.maximum(sig_loc, 1e-20)
         wood_ts = t[None, :] + jnp.cumsum(steps, axis=0)
         ts = jnp.where(skipping[None, :], skip_ts, wood_ts)
@@ -435,24 +510,29 @@ def _track_cloud(
         pos = ray_pos[None] + ts_c[..., None] * ray_dir[None]
         sample = tx.sample_sphere_texture(
             clouds_tex, pos, bilinear=cfg.bilinear_tracking
-        )  # (k, n, 2): fine column height + majorant mip
+        )  # (k, n, 4): column height, fine mip, coarse mip, 0
         fine_ext = ext_w[None, :] * _cloud_shape_density(
             sample[..., 0], mu.length(pos)
         )
-        mip_k = sample[..., 1]
+        mip_f = sample[..., 1]
+        mip_c = sample[..., 2]
 
-        # --- skip branch: jump to the first probe whose majorant is nonzero
-        skip_stop = (mip_k > 0.0) | crossed
+        # --- skip branch: jump to the first occupied probe at the lane's
+        # skip level (coarse-striding lanes test the coarse mip)
+        is_coarse = stride > _CLOUD_SKIP_FINE * 1.5
+        probe_occ = jnp.where(is_coarse[None, :], mip_c > 0.0, mip_f > 0.0)
+        skip_stop = probe_occ | crossed
         skip_any = jnp.any(skip_stop, axis=0)
         skip_first = jnp.argmax(skip_stop, axis=0)
         pickf = (arange_k == skip_first[None, :]).astype(ts.dtype)
         skip_t = jnp.where(
-            skip_any,
-            jnp.sum(ts_c * pickf, axis=0),
-            t + k * _CLOUD_SKIP,
+            skip_any, jnp.sum(ts_c * pickf, axis=0), t + k * stride
         )
-        skip_sig = jnp.where(
-            skip_any, majorant(jnp.sum(mip_k * pickf, axis=0))[0], 0.0
+        skip_mip_f = jnp.where(
+            skip_any, jnp.sum(mip_f * pickf, axis=0), mip_f[-1]
+        )
+        skip_mip_c = jnp.where(
+            skip_any, jnp.sum(mip_c * pickf, axis=0), mip_c[-1]
         )
 
         # --- tracking branch: first real collision or budget crossing
@@ -467,7 +547,8 @@ def _track_cloud(
             wood_t = jnp.where(any_stop, psel(ts_c), ts_c[-1])
             wood_real = any_stop & (psel(real_k.astype(ts.dtype)) > 0.5)
             # refresh the majorant from the tap at the stopping/last position
-            wood_last_mip = jnp.where(any_stop, psel(mip_k), mip_k[-1])
+            wood_mip_f = jnp.where(any_stop, psel(mip_f), mip_f[-1])
+            wood_mip_c = jnp.where(any_stop, psel(mip_c), mip_c[-1])
         else:
             # ratio mode: every in-budget probe contributes a factor; advance
             # past all of them (to the budget boundary if it was crossed)
@@ -478,21 +559,29 @@ def _track_cloud(
                 any_crossed, jnp.sum(ts_c * pick_c, axis=0), ts_c[-1]
             )
             wood_real = jnp.zeros((n,), bool)
-            wood_last_mip = jnp.where(
-                any_crossed, jnp.sum(mip_k * pick_c, axis=0), mip_k[-1]
+            wood_mip_f = jnp.where(
+                any_crossed, jnp.sum(mip_f * pick_c, axis=0), mip_f[-1]
+            )
+            wood_mip_c = jnp.where(
+                any_crossed, jnp.sum(mip_c * pick_c, axis=0), mip_c[-1]
             )
             factors = jnp.where(crossed, 1.0, 1.0 - ratio)
             block = jnp.prod(factors, axis=0)
-        wood_sig = majorant(wood_last_mip[None, :])[0]
 
         step_lane = (~done) & (~skipping)
         skip_lane = (~done) & skipping
 
         t_new = jnp.where(skip_lane, skip_t, jnp.where(step_lane, wood_t, t))
-        sig_new = jnp.where(
-            skip_lane, skip_sig, jnp.where(step_lane, wood_sig, sig_loc)
+        new_mip_f = jnp.where(skip_lane, skip_mip_f, wood_mip_f)
+        new_mip_c = jnp.where(skip_lane, skip_mip_c, wood_mip_c)
+        moved = skip_lane | step_lane
+        sig_new = jnp.where(moved, majorant(new_mip_f), sig_loc)
+        stride_new = jnp.where(
+            moved,
+            jnp.where(new_mip_c > 0.0, _CLOUD_SKIP_FINE, _CLOUD_SKIP_COARSE),
+            stride,
         )
-        t_fetch_new = jnp.where(skip_lane | step_lane, t_new, t_fetch)
+        t_fetch_new = jnp.where(moved, t_new, t_fetch)
 
         if is_delta:
             hit = step_lane & wood_real
@@ -506,7 +595,7 @@ def _track_cloud(
             done = done | (trans < 1e-5)
 
         done = done | (t_new >= t_max)
-        return i + 1, key, t_new, done, t_fetch_new, sig_new, event, trans
+        return i + 1, key, t_new, done, t_fetch_new, sig_new, stride_new, event, trans
 
     init = (
         0,
@@ -515,10 +604,11 @@ def _track_cloud(
         ~valid,
         t_start,
         jnp.zeros((n,)),
+        jnp.full((n,), _CLOUD_SKIP_FINE),
         jnp.full((n,), NULL_EVENT, dtype=jnp.int32),
         jnp.ones((n,)),
     )
-    _, _, t, _, _, _, event, trans = jax.lax.while_loop(cond, body, init)
+    _, _, t, _, _, _, _, event, trans = jax.lax.while_loop(cond, body, init)
     if is_delta:
         return event, t
     return trans
@@ -565,13 +655,12 @@ def sample_interaction(
     """Two-pass free-flight sampling by superposition: the cloud slab, then
     the RMO gases capped at the cloud event; the nearer event wins
     (reference pathtracer.py:172-207 runs RMO first — the combined first-event
-    distribution is order-independent, and cloud-first lets the RMO pass stop
-    its spectral-MIS weight accumulation exactly at the joint event, which
-    matters for hero-wavelength packets: cloud extinction is wavelength-
-    independent, so only RMO null collisions carry pdf ratios).
+    distribution is order-independent; cloud-first lets the RMO pass stop
+    exactly at the joint event).
 
     ext_rmo: (n, L, 3) per-wavelength extinction coefficients; ext_w: (n,)
-    cloud extinction. Returns (event, t, interaction_id, w_mult (n, L)).
+    cloud extinction. Returns (event, t, interaction_id); hero-packet MIS
+    weights are computed afterwards in closed form (spectral_flight_weights).
     """
     n = ray_pos.shape[0]
     L = ext_rmo.shape[1]
@@ -586,7 +675,7 @@ def sample_interaction(
             atlas.clouds, "rmo", active, cfg,
         )
         if not cfg.enable_clouds:
-            return rmo_event, rmo_t, rmo_id, jnp.ones((n, 1))
+            return rmo_event, rmo_t, rmo_id
         c_start, c_max = intersect_cloud_limits(ray_pos, ray_dir, land_isection)
         cloud_active = active & ((rmo_event == NULL_EVENT) | (rmo_t > c_start))
         cloud_ext = jnp.zeros((n, 4)).at[:, 3].set(ext_w)
@@ -600,7 +689,7 @@ def sample_interaction(
         event = jnp.where(take, c_event, rmo_event)
         t = jnp.where(take, c_t, rmo_t)
         iid = jnp.where(take, C.CLOUD_ID, rmo_id)
-        return event, t, iid, jnp.ones((n, 1))
+        return event, t, iid
 
     if cfg.enable_clouds:
         c_start, c_max = intersect_cloud_limits(ray_pos, ray_dir, land_isection)
@@ -613,27 +702,29 @@ def sample_interaction(
     else:
         rmo_cap = t_max
 
-    rmo_event, rmo_t, rmo_id, w_mult = _delta_track_rmo(
+    rmo_event, rmo_t, rmo_id = _delta_track_rmo(
         k_rmo, ray_pos, ray_dir, t_start, rmo_cap, ext_rmo, max_ext_rmo,
         active, cfg,
     )
     if not cfg.enable_clouds:
-        return rmo_event, rmo_t, rmo_id, w_mult
+        return rmo_event, rmo_t, rmo_id
 
     take_cloud = (c_event > NULL_EVENT) & (rmo_event == NULL_EVENT)
     event = jnp.where(take_cloud, c_event, rmo_event)
     t = jnp.where(take_cloud, c_t, rmo_t)
     iid = jnp.where(take_cloud, C.CLOUD_ID, rmo_id)
-    return event, t, iid, w_mult
+    return event, t, iid
 
 
 def sample_transmittance(
     key, ray_pos, ray_dir, land_isection, ext_rmo, ext_w, max_ext_rmo,
     max_ext_cloud, atlas, active, cfg: TraceConfig,
 ):
-    """Transmittance toward the sun: RMO ratio-tracking times cloud
-    ratio-tracking (reference pathtracer.py:211-232). ext_rmo (n, L, 3);
-    returns per-wavelength transmittance (n, L)."""
+    """Transmittance toward the sun: exact closed-form RMO transmittance from
+    the density-integral table times cloud ratio-tracking (replacing the
+    reference's two ratio-tracking passes, pathtracer.py:211-232 — the RMO
+    factor is zero-variance here). ext_rmo (n, L, 3); returns per-wavelength
+    transmittance (n, L)."""
     n = ray_pos.shape[0]
     L = ext_rmo.shape[1]
     k_rmo, k_cloud = jax.random.split(key)
@@ -645,6 +736,8 @@ def sample_transmittance(
             k_rmo, ray_pos, ray_dir, t_start, t_max, ext4, max_ext_rmo,
             atlas.clouds, "rmo", active, cfg,
         )[:, None]
+    elif cfg.analytic_transmittance:
+        trans = atm.rmo_transmittance_to_space(ext_rmo, ray_pos, ray_dir)
     else:
         trans = _ratio_track_rmo(
             k_rmo, ray_pos, ray_dir, t_start, t_max, ext_rmo,
@@ -783,15 +876,32 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
         keys = jax.random.split(key, 10)
         key = keys[0]
 
-        # 1. land intersection (reference pathtracer.py:359)
+        # 1. land intersection, 2. free-flight sampling capped at the land
+        # hit (reference pathtracer.py:359-368). A track-first reorder (march
+        # capped at the sampled event) was measured slower: it trades march
+        # iterations for *more* tracking iterations on exactly the grazing
+        # near-terrain lanes that set the worst-lane pace.
         earth = _march(atlas.topography, pos, direction, scale, alive, cfg)
-
-        # 2. free-flight sampling (reference pathtracer.py:362-368)
-        event, t_int, iid, w_mult = sample_interaction(
+        event, t_int, iid = sample_interaction(
             keys[1], pos, direction, earth, ext_rmo, ext_w, max_ext_rmo,
             max_ext_cloud, atlas, alive, cfg,
         )
-        w_mult = jnp.where(alive[:, None], w_mult, 1.0)
+
+        # hero-packet MIS weight of this bounce's flight outcome
+        if L > 1:
+            rmo_t0, rmo_t1 = _rmo_span(pos, direction, earth)
+            t_w = jnp.where(
+                event > NULL_EVENT,
+                t_int,
+                jnp.where(earth > 0.0, earth, rmo_t1),
+            )
+            t_w = jnp.clip(t_w, rmo_t0, jnp.maximum(rmo_t1, rmo_t0))
+            rmo_collision = (event > NULL_EVENT) & (iid != C.CLOUD_ID)
+            w_mult = spectral_flight_weights(
+                pos, direction, rmo_t0, t_w, ext_rmo, iid, rmo_collision, alive
+            )
+        else:
+            w_mult = jnp.ones((n, 1))
         w_mis = w_mis * w_mult
         throughput = throughput * w_mult  # identical physical/pdf ratio terms
         # isotropic multi-scatter fallback (reference pathtracer.py:369-370)

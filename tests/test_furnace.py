@@ -86,7 +86,7 @@ class TestDeltaTrackingUnbiased:
         )
         max_ext = jnp.sum(ext * pt._MAX_DENS_RMO, axis=-1)
         t0, t1 = pt._rmo_span(o, d, jnp.full(reps, -1.0))
-        event, _, _, _ = pt._delta_track_rmo(
+        event, _, _ = pt._delta_track_rmo(
             jax.random.PRNGKey(1), o, d, t0, t1, ext[:, None, :], max_ext,
             jnp.ones(reps, bool), CFG,
         )
@@ -118,7 +118,7 @@ class TestDeltaTrackingUnbiased:
         )
         max_ext = jnp.sum(ext * pt._MAX_DENS_RMO, axis=-1)
         t0, t1 = pt._rmo_span(o, d, jnp.full(reps, -1.0))
-        event, _, iid, _ = pt._delta_track_rmo(
+        event, _, iid = pt._delta_track_rmo(
             jax.random.PRNGKey(3), o, d, t0, t1, ext[:, None, :], max_ext,
             jnp.ones(reps, bool), CFG,
         )

@@ -55,12 +55,26 @@ class TestHeroPackets:
         np.testing.assert_allclose(d, 441.0 / 4, atol=0.5)
 
     def test_packet_estimator_unbiased_vs_single(self, scene):
+        """Multi-seed z-test: the L=4 estimator's mean must agree with the
+        L=1 estimator within Monte-Carlo error (path-traced radiance is
+        heavy-tailed, so single-seed comparisons are unreliable)."""
         n = 3072
-        a = _trace_mean_xyz(scene, 1, n, jax.random.PRNGKey(1)).mean(axis=0)
-        a2 = _trace_mean_xyz(scene, 1, n, jax.random.PRNGKey(2)).mean(axis=0)
-        b = _trace_mean_xyz(scene, 4, n, jax.random.PRNGKey(3)).mean(axis=0)
-        seed_scale = np.abs(a - a2) + 1e-4 + 0.05 * np.abs(a)
-        assert (np.abs(b - (a + a2) / 2) < 5 * seed_scale).all(), (a, a2, b)
+        n_seeds = 6
+        a = np.stack(
+            [
+                _trace_mean_xyz(scene, 1, n, jax.random.PRNGKey(10 + s)).mean(axis=0)
+                for s in range(n_seeds)
+            ]
+        )
+        b = np.stack(
+            [
+                _trace_mean_xyz(scene, 4, n, jax.random.PRNGKey(50 + s)).mean(axis=0)
+                for s in range(n_seeds)
+            ]
+        )
+        sem = np.sqrt(a.var(axis=0) / n_seeds + b.var(axis=0) / n_seeds)
+        z = (b.mean(axis=0) - a.mean(axis=0)) / (sem + 1e-5 * np.abs(a.mean(0)) + 1e-9)
+        assert (np.abs(z) < 4.0).all(), (a.mean(0), b.mean(0), z)
 
     def test_packet_reduces_variance(self, scene):
         n = 2048

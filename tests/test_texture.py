@@ -101,11 +101,11 @@ class TestProcgen:
         atlas = build_atlas(t)
         assert atlas.material.channels == 8
         assert atlas.material.h == 32 and atlas.material.w == 64
-        # topography and clouds carry (fine, dilated-max-mip) channel pairs
-        assert atlas.topography.channels == 2
-        assert atlas.clouds.channels == 2
+        # topography and clouds carry [map, fine mip, coarse mip, 0] packs
+        assert atlas.topography.channels == 4
+        assert atlas.clouds.channels == 4
         assert atlas.stars.channels == 3
-        # the mip channel is a conservative upper bound of the fine channel
+        # both mip channels are conservative upper bounds of the fine channel
         for tex, src in ((atlas.topography, t["topography"]), (atlas.clouds, t["clouds"])):
             ys, xs = np.meshgrid(np.arange(32), np.arange(64), indexing="ij")
             vals = tx._fetch_texel(
@@ -113,6 +113,7 @@ class TestProcgen:
             )
             vals = np.asarray(vals)
             assert (vals[:, 1] >= vals[:, 0] - 1e-6).all()
+            assert (vals[:, 2] >= vals[:, 0] - 1e-6).all()
             np.testing.assert_allclose(vals[:, 0], src.ravel() / 255.0, atol=1e-6)
         # packed channels must match the source maps at a texel
         mat = tx._fetch_texel(atlas.material, jnp.asarray([5]), jnp.asarray([9]))

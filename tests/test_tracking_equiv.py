@@ -135,10 +135,9 @@ class TestRmoTrackers:
         reps = 3000
         o, d, ts, tm, ext, max_ext = self._setup_rays(reps)
         act = jnp.ones(reps, bool)
-        e_f, t_f, id_f, w_f = pt._delta_track_rmo(
+        e_f, t_f, id_f = pt._delta_track_rmo(
             jax.random.PRNGKey(3), o, d, ts, tm, ext[:, None, :], max_ext, act, CFG
         )
-        np.testing.assert_allclose(np.asarray(w_f), 1.0)  # single-lambda: unit weights
         ext4 = jnp.concatenate([ext, jnp.zeros((reps, 1))], axis=-1)
         e_n, t_n, id_n = tn.delta_track_naive(
             jax.random.PRNGKey(4), o, d, ts, tm, ext4, max_ext,

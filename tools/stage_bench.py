@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Stage ablation bench: time one 1080p Apollo spp under variant TraceConfigs
+to decompose where the frame time goes. Run on the real TPU."""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--tile", type=int, default=1600)
+    ap.add_argument("--texture-res", type=int, default=1024)
+    ap.add_argument("--spp", type=int, default=1)
+    ap.add_argument(
+        "--variants",
+        default="full,no_clouds,no_land,atmos_only,L1,k8",
+        help="comma-separated variant names",
+    )
+    args = ap.parse_args()
+
+    from digital_earth_tpu.assets.textures import load_texture_atlas
+    from digital_earth_tpu.render.params import TraceConfig
+    from digital_earth_tpu.render.renderer import Renderer
+
+    atlas = load_texture_atlas(
+        procedural_resolution=(args.texture_res, 2 * args.texture_res)
+    )
+
+    variants = {
+        "full": {},
+        "no_clouds": {"enable_clouds": False},
+        "no_land": {"enable_land": False},
+        "atmos_only": {"enable_clouds": False, "enable_land": False},
+        "L1": {"hero_lambdas": 1},
+        "k8": {"tracking_k": 8},
+        "k2": {"tracking_k": 2},
+        "bounce4": {"max_bounces": 4},
+        "march125": {"land_march_steps": 125},
+        "analytic_off": {"analytic_transmittance": False},
+    }
+
+    for name in args.variants.split(","):
+        cfg = TraceConfig(**variants[name])
+        r = Renderer(
+            image_res=(args.width, args.height), atlas=atlas,
+            tile_pixels=args.tile, cfg=cfg,
+        )
+        r.set_camera_pos(35963490.23139822, 12765367.037276791, -42445899.29884433)
+        r.set_look_at(23201393.603171505, 8394073.279136525, -26074562.13501193)
+        r.set_up(0.26080361881808384, 0.6750209397555819, -0.6901653449014103)
+        r.set_fov(0.12692034034212948)
+        r.set_sun_angle(5.0813688841507325)
+        r.set_sun_path_rot(-1.7096024133386984)
+        r.accumulate()
+        r.color_buffer.block_until_ready()
+        t0 = time.time()
+        for _ in range(args.spp):
+            r.accumulate()
+        r.color_buffer.block_until_ready()
+        dt = (time.time() - t0) / args.spp
+        print(f"{name:14s} {dt:8.3f} s/spp", flush=True)
+
+
+if __name__ == "__main__":
+    main()
