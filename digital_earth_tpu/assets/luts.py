@@ -38,10 +38,28 @@ class CRFPack(NamedTuple):
     names: tuple
 
 
-def load_spectral_luts(data_dir: str = DATA_DIR) -> SpectralLUTs:
-    cie = np.load(os.path.join(data_dir, "cie_lut.npz"))
-    s2s = np.load(os.path.join(data_dir, "srgb2spec.npz"))
-    o3 = np.load(os.path.join(data_dir, "ozone_lut.npz"))
+def load_spectral_luts(data_dir: str = DATA_DIR, source: str = None) -> SpectralLUTs:
+    """Load the spectral tables.
+
+    ``source``: "reference" (the reference's own measured tables, converted
+    by ``tools/gen_luts.py --reference-luts`` — the observer the <1%
+    spectral-parity gate is defined against), "generated" (the analytic
+    Wyman-Sloan-Shirley 1931 fit + home least-squares srgb2spec basis), or
+    None: the ``DE_LUT_SOURCE`` env var, defaulting to "reference" when the
+    ``*_ref.npz`` files exist.
+    """
+    if source is None:
+        source = os.environ.get("DE_LUT_SOURCE")
+    if source is None:
+        source = (
+            "reference"
+            if os.path.exists(os.path.join(data_dir, "cie_lut_ref.npz"))
+            else "generated"
+        )
+    suffix = "_ref" if source == "reference" else ""
+    cie = np.load(os.path.join(data_dir, f"cie_lut{suffix}.npz"))
+    s2s = np.load(os.path.join(data_dir, f"srgb2spec{suffix}.npz"))
+    o3 = np.load(os.path.join(data_dir, f"ozone_lut{suffix}.npz"))
     return SpectralLUTs(
         cie_cdf=jnp.asarray(cie["cdf"], dtype=jnp.float32),
         cie_response=jnp.asarray(cie["response"], dtype=jnp.float32),

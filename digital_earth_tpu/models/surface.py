@@ -173,34 +173,10 @@ def earth_brdf(albedo, oceanness, bathymetry, v, n, l):
 
     albedo is the scalar spectral albedo at the hero wavelength; oceanness
     and bathymetry come from the land-ocean mask / bathymetry textures.
-    Returns (brdf, n_dot_l).
+    Returns (brdf, n_dot_l). Composed from earth_brdf_parts so the two
+    entry points cannot diverge.
     """
-    h = normalize(v + l)
-    n_dot_l = saturate(dot(n, l))
-    n_dot_v = saturate(dot(n, v))
-    l_dot_h = saturate(dot(l, h))
-    n_dot_h = saturate(dot(n, h))
-
-    ocean_roughness = mix(0.23 + 0.02, 0.23 - 0.04, smoothstep(0.3, 0.7, bathymetry))
-
-    diffuse = disney_diffuse(LAND_ROUGHNESS, n_dot_l, n_dot_v, l_dot_h)
-    land_specular = ggx_smith_specular(
-        LAND_ROUGHNESS, LAND_F0, n_dot_l, n_dot_v, l_dot_h, n_dot_h
+    diffuse_term, specular_term, n_dot_l = earth_brdf_parts(
+        oceanness, bathymetry, v, n, l
     )
-    ocean_specular_ggx = ggx_smith_specular(
-        ocean_roughness, OCEAN_F0, n_dot_l, n_dot_v, l_dot_h, n_dot_h
-    )
-    ocean_specular_beckmann = 0.65 * beckmann_specular(
-        ocean_roughness, OCEAN_F0, n_dot_l, n_dot_v, l_dot_h, n_dot_h
-    )
-    ocean_specular = mix(
-        ocean_specular_beckmann,
-        ocean_specular_ggx,
-        jnp.clip(smoothstep(0.2, 0.95, n_dot_v), 0.05, 0.94),
-    )
-
-    specular_blender = smoothstep(0.6, 1.0, oceanness)
-    brdf = albedo * diffuse * DIFFUSE_FACTOR + mix(
-        land_specular, ocean_specular, specular_blender
-    ) * SPECULAR_FACTOR
-    return brdf, n_dot_l
+    return albedo * diffuse_term + specular_term, n_dot_l

@@ -75,30 +75,58 @@ def _tile_colors(key, cam, scene, atlas, luts, pixel_flat, image_res, cfg):
     return sp.xyz_to_rgb(jnp.einsum("nl,nlc->nc", radiance, responses))
 
 
+def _pick_tile(total: int, n_px: int, tile_pixels: int) -> int:
+    """Largest divisor of ``total`` that is <= tile_pixels and yields a tile
+    count divisible by the px axis."""
+    for d in range(min(tile_pixels, total), 0, -1):
+        if total % d == 0 and (total // d) % n_px == 0:
+            return d
+    raise ValueError((total, n_px, tile_pixels))
+
+
 def make_sharded_render_step(
-    mesh: Mesh, image_res: Tuple[int, int], cfg: TraceConfig = TraceConfig()
+    mesh: Mesh,
+    image_res: Tuple[int, int],
+    cfg: TraceConfig = TraceConfig(),
+    tile_pixels: int = 1600,
 ):
     """Build a jitted multi-chip render step.
 
-    Returns ``step(key, color_buffer, cam, scene, atlas, luts)`` where
-    ``color_buffer`` is the (W*H, 3) flat accumulation buffer sharded over
-    "px". Each call adds ``mesh.shape['spp']`` spp.
+    Returns ``step(base_key, spp0, color_buffer, cam, scene, atlas, luts)``
+    where ``color_buffer`` is the (W*H, 3) flat accumulation buffer sharded
+    over "px" and ``spp0`` the global spp counter before this step. Each call
+    adds ``mesh.shape['spp']`` spp.
+
+    Determinism across mesh shapes: the pixel grid is cut into fixed tiles
+    and every tile's randomness is keyed by (base_key, global spp index,
+    *global* tile index) — never by a device's mesh coordinate — so renders
+    with the same seed and ``tile_pixels`` are bit-identical no matter how
+    the tiles are spread over the "px" axis (asserted by
+    tests/test_parallel.py). Pass the same ``tile_pixels`` when comparing
+    mesh shapes; the tile count must divide by every px-axis size used.
     """
     w, h = image_res
     total = w * h
     n_px = mesh.shape["px"]
     n_spp = mesh.shape["spp"]
-    assert total % n_px == 0, (total, n_px)
-    shard = total // n_px
+    tile = _pick_tile(total, n_px, tile_pixels)
+    tiles_per_dev = (total // tile) // n_px
 
-    def shard_fn(key, color_buffer, cam, scene, atlas, luts):
+    def shard_fn(base_key, spp0, color_buffer, cam, scene, atlas, luts):
         px_idx = jax.lax.axis_index("px")
         spp_idx = jax.lax.axis_index("spp")
-        dev_key = jax.random.fold_in(jax.random.fold_in(key, px_idx), spp_idx)
-        pixel_flat = px_idx * shard + jnp.arange(shard)
-        colors = _tile_colors(
-            dev_key, cam, scene, atlas, luts, pixel_flat, image_res, cfg
-        )
+        spp_key = jax.random.fold_in(base_key, spp0 + spp_idx)
+
+        def render_tile(local_t):
+            global_t = px_idx * tiles_per_dev + local_t
+            tkey = jax.random.fold_in(spp_key, global_t)
+            pixel_flat = global_t * tile + jnp.arange(tile)
+            return _tile_colors(
+                tkey, cam, scene, atlas, luts, pixel_flat, image_res, cfg
+            )
+
+        colors = jax.lax.map(render_tile, jnp.arange(tiles_per_dev))
+        colors = colors.reshape(tiles_per_dev * tile, 3)
         # merge the spp batches over ICI; pixels stay sharded
         colors = jax.lax.psum(colors, "spp")
         return color_buffer + colors
@@ -106,11 +134,11 @@ def make_sharded_render_step(
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P("px"), P(), P(), P(), P()),
+        in_specs=(P(), P(), P("px"), P(), P(), P(), P()),
         out_specs=P("px"),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(1,)), n_spp
+    return jax.jit(sharded, donate_argnums=(2,)), n_spp
 
 
 class MultiChipRenderer:
@@ -120,13 +148,18 @@ class MultiChipRenderer:
     adds ``spp_per_step`` samples per pixel (one per "spp"-axis device).
     """
 
-    def __init__(self, mesh, image_res, atlas, luts, cfg=TraceConfig(), seed=0):
+    def __init__(
+        self, mesh, image_res, atlas, luts, cfg=TraceConfig(), seed=0,
+        tile_pixels=1600,
+    ):
         self.mesh = mesh
         self.image_res = tuple(image_res)
         self.atlas = atlas
         self.luts = luts
         self.cfg = cfg
-        self.step, self.spp_per_step = make_sharded_render_step(mesh, image_res, cfg)
+        self.step, self.spp_per_step = make_sharded_render_step(
+            mesh, image_res, cfg, tile_pixels
+        )
         self._base_key = jax.random.PRNGKey(seed)
         self.current_spp = 0
         sharding = NamedSharding(mesh, P("px"))
@@ -135,9 +168,14 @@ class MultiChipRenderer:
         )
 
     def accumulate(self, cam: CameraParams, scene: SceneParams):
-        key = jax.random.fold_in(self._base_key, self.current_spp)
         self.color_buffer = self.step(
-            key, self.color_buffer, cam, scene, self.atlas, self.luts
+            self._base_key,
+            jnp.asarray(self.current_spp, dtype=jnp.int32),
+            self.color_buffer,
+            cam,
+            scene,
+            self.atlas,
+            self.luts,
         )
         self.current_spp += self.spp_per_step
 

@@ -65,18 +65,35 @@ class TestMesh:
         assert (np.abs(two_spp - one_spp) > 1e-12).any()
 
     def test_px_sharding_matches_replicated(self, scene_setup):
-        """Sharding over 'px' must not change the result: an 8-device
-        (px=8, spp=1) render equals the 1-device render with the same key."""
+        """Sharding over 'px' must not change the result: randomness is keyed
+        by the *global* tile index, so the (px=8, spp=1) render is
+        bit-identical to the 1-device render with the same seed."""
         atlas, luts, cam, scene, cfg = scene_setup
         devs = jax.devices()
         m8 = make_render_mesh(devices=devs, spp_axis=1)
         m1 = make_render_mesh(devices=devs[:1], spp_axis=1)
-        r8 = MultiChipRenderer(m8, (32, 8), atlas, luts, cfg=cfg)
-        r1 = MultiChipRenderer(m1, (32, 8), atlas, luts, cfg=cfg)
+        r8 = MultiChipRenderer(m8, (32, 8), atlas, luts, cfg=cfg, tile_pixels=32)
+        r1 = MultiChipRenderer(m1, (32, 8), atlas, luts, cfg=cfg, tile_pixels=32)
         r8.accumulate(cam, scene)
         r1.accumulate(cam, scene)
         a, b = r8.fetch_buffer(), r1.fetch_buffer()
-        # keys are folded with the px index, so pixel shards differ between
-        # mesh shapes by construction; just require both to be valid renders
-        assert np.isfinite(a).all() and np.isfinite(b).all()
-        assert (a != 0).any() and (b != 0).any()
+        assert np.isfinite(a).all() and (a != 0).any()
+        np.testing.assert_array_equal(a, b)
+
+    def test_spp_axis_matches_sequential_steps(self, scene_setup):
+        """A (px=4, spp=2) step is keyed by global spp indices, so one step
+        equals two sequential (px=8, spp=1) steps up to summation order."""
+        atlas, luts, cam, scene, cfg = scene_setup
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 devices")
+        m42 = make_render_mesh(devices=devs, spp_axis=2)
+        m81 = make_render_mesh(devices=devs, spp_axis=1)
+        r42 = MultiChipRenderer(m42, (32, 8), atlas, luts, cfg=cfg, tile_pixels=32)
+        r81 = MultiChipRenderer(m81, (32, 8), atlas, luts, cfg=cfg, tile_pixels=32)
+        r42.accumulate(cam, scene)  # adds spp 0 and 1 in one step
+        r81.accumulate(cam, scene)  # spp 0
+        r81.accumulate(cam, scene)  # spp 1
+        assert r42.current_spp == r81.current_spp == 2
+        a, b = r42.fetch_buffer(), r81.fetch_buffer()
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)

@@ -216,12 +216,73 @@ def gen_crf_pack(crf_dir):
     print(f"wrote {out}: {pack.shape}, films: {names}")
 
 
+# ---------------------------------------------------------------------------
+# Reference .dat conversion (spectral-parity mode)
+# ---------------------------------------------------------------------------
+
+
+def convert_reference_luts(ref_lut_dir):
+    """Convert the reference's shipped spectral tables to our npz layout.
+
+    The reference ships measured-data LUTs (binary formats documented at
+    reference renderer.py:97-125): CIE.dat is 441x2x3 float32 with
+    data[x, y, c] = raw[(x + y*441)*3 + c] (y=0 the per-channel cumulative
+    CMF, y=1 the XYZ response); srgb2spec.dat is 300x3 float16;
+    ozone_cross_section.dat is 441 float32. These are the tables the <1%
+    spectral-parity gate is defined against, so we convert them verbatim
+    into cie_lut_ref.npz / srgb2spec_ref.npz / ozone_lut_ref.npz (measured
+    public data: a CIE standard observer and per-nm-binned Serdyuchenko 2014
+    cross sections). load_spectral_luts prefers these when present.
+    """
+    raw = np.fromfile(os.path.join(ref_lut_dir, "CIE.dat"), dtype=np.float32)
+    assert raw.size == 441 * 2 * 3, raw.size
+    arr = raw.reshape(2, 441, 3)
+    cdf, resp = arr[0], arr[1]
+    out = os.path.join(DATA_DIR, "cie_lut_ref.npz")
+    np.savez_compressed(
+        out,
+        response=resp.astype(np.float32),
+        cdf=cdf.astype(np.float32),
+        wavelengths=WAVELENGTHS.astype(np.float32),
+    )
+    print(f"wrote {out}: cdf ends at {cdf[-1]}, peaks at "
+          f"{resp.argmax(axis=0) + 390} nm")
+
+    s2s = np.fromfile(
+        os.path.join(ref_lut_dir, "srgb2spec.dat"), dtype=np.float16
+    )
+    assert s2s.size == 300 * 3, s2s.size
+    basis = s2s.reshape(300, 3).astype(np.float32)
+    out = os.path.join(DATA_DIR, "srgb2spec_ref.npz")
+    np.savez_compressed(
+        out, basis=basis, wavelengths=np.arange(400.0, 700.0, dtype=np.float32)
+    )
+    print(f"wrote {out}: range [{basis.min():.4f}, {basis.max():.4f}]")
+
+    o3 = np.fromfile(
+        os.path.join(ref_lut_dir, "ozone_cross_section.dat"), dtype=np.float32
+    )
+    assert o3.size == 441, o3.size
+    out = os.path.join(DATA_DIR, "ozone_lut_ref.npz")
+    np.savez_compressed(out, cross_section=o3)
+    print(f"wrote {out}: peak {o3.max():.3e} at {390 + o3.argmax()} nm")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--serdyuchenko", default=None, help="path to the Serdyuchenko 2014 dataset txt")
     p.add_argument("--crf-dir", default=None, help="directory of DoRF .rf files")
+    p.add_argument(
+        "--reference-luts",
+        default=None,
+        help="reference LUT/ directory; converts its .dat tables to *_ref.npz",
+    )
     p.add_argument("--only", default=None, choices=["cie", "srgb2spec", "ozone", "crf"])
     args = p.parse_args()
+
+    if args.reference_luts:
+        convert_reference_luts(args.reference_luts)
+        return
 
     os.makedirs(DATA_DIR, exist_ok=True)
     if args.only in (None, "cie"):
