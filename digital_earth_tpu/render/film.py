@@ -16,6 +16,7 @@ Everything operates on (..., 3) float arrays.
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 import jax.numpy as jnp
 import numpy as np
@@ -41,27 +42,88 @@ HS_G = -0.1
 HS_B = -0.2
 V_P = 0.5
 
-_MATRIX_REC709_TO_XYZ = np.array(
+# --- Working-space gamut matrices ------------------------------------------
+# The reference embeds 14 gamut->XYZ matrices (lib/OpenDRT.py:56-74). Here
+# they are *derived* from the published chromaticity coordinates of each
+# standard/camera colour space, with CAT02 chromatic adaptation to D65 for
+# the non-D65 whites (the reference's matrices state the same adaptation in
+# their header comment) — identical values up to float rounding, validated
+# in tests/test_film.py.
+
+_WHITE_D65 = (0.3127, 0.3290)
+_WHITE_ACES = (0.32168, 0.33767)
+
+# name: (red xy, green xy, blue xy, white xy)
+_GAMUT_CHROMATICITIES = {
+    "rec709": ((0.64, 0.33), (0.30, 0.60), (0.15, 0.06), _WHITE_D65),
+    "p3d65": ((0.680, 0.320), (0.265, 0.690), (0.150, 0.060), _WHITE_D65),
+    "rec2020": ((0.708, 0.292), (0.170, 0.797), (0.131, 0.046), _WHITE_D65),
+    "ap0": ((0.7347, 0.2653), (0.0, 1.0), (0.0001, -0.077), _WHITE_ACES),
+    "ap1": ((0.713, 0.293), (0.165, 0.830), (0.128, 0.044), _WHITE_ACES),
+    "arriwg3": ((0.6840, 0.3130), (0.2210, 0.8480), (0.0861, -0.1020), _WHITE_D65),
+    "arriwg4": ((0.7347, 0.2653), (0.1424, 0.8576), (0.0991, -0.0308), _WHITE_D65),
+    "redwg": ((0.780308, 0.304253), (0.121595, 1.493994), (0.095612, -0.084589), _WHITE_D65),
+    "sonysgamut3": ((0.730, 0.280), (0.140, 0.855), (0.100, -0.050), _WHITE_D65),
+    "sonysgamut3cine": ((0.766, 0.275), (0.225, 0.800), (0.089, -0.087), _WHITE_D65),
+    "bmdwg": ((0.7177215, 0.3171181), (0.2280410, 0.8615690), (0.1005841, -0.0820452), (0.3127170, 0.3290312)),
+    "egamut": ((0.8000, 0.3177), (0.1800, 0.9000), (0.0650, -0.0805), _WHITE_D65),
+    "davinciwg": ((0.8000, 0.3130), (0.1682, 0.9877), (0.0790, -0.1155), _WHITE_D65),
+}
+
+# CAT02 cone response matrix (CIECAM02)
+_CAT02 = np.array(
     [
-        [0.412390917540, 0.357584357262, 0.180480793118],
-        [0.212639078498, 0.715168714523, 0.072192311287],
-        [0.019330825657, 0.119194783270, 0.950532138348],
-    ],
-    dtype=np.float32,
+        [0.7328, 0.4296, -0.1624],
+        [-0.7036, 1.6975, 0.0061],
+        [0.0030, 0.0136, 0.9834],
+    ]
 )
-_MATRIX_XYZ_TO_REC709 = np.array(
-    [
-        [3.2409699419, -1.53738317757, -0.498610760293],
-        [-0.969243636281, 1.87596750151, 0.041555057407],
-        [0.055630079697, -0.203976958889, 1.05697151424],
-    ],
-    dtype=np.float32,
-)
-# in = Rec709, display = Rec709: the gamut round-trip composes to ~identity
-# but we keep both multiplies for parity with the reference's chain
-# (lib/OpenDRT.py:327-329).
-_IN_TO_XYZ = _MATRIX_REC709_TO_XYZ
-_XYZ_TO_DISPLAY = _MATRIX_XYZ_TO_REC709
+
+
+def _xy_to_xyz_np(xy):
+    x, y = xy
+    return np.array([x / y, 1.0, (1.0 - x - y) / y])
+
+
+def _rgb_to_xyz_from_chromaticities(r, g, b, w):
+    prim = np.stack([_xy_to_xyz_np(r), _xy_to_xyz_np(g), _xy_to_xyz_np(b)], axis=1)
+    scale = np.linalg.solve(prim, _xy_to_xyz_np(w))
+    return prim * scale[None, :]
+
+
+def _cat02_adaptation(src_white_xy, dst_white_xy):
+    """Von-Kries adaptation in CAT02 cone space (full adaptation)."""
+    src = _CAT02 @ _xy_to_xyz_np(src_white_xy)
+    dst = _CAT02 @ _xy_to_xyz_np(dst_white_xy)
+    return np.linalg.inv(_CAT02) @ np.diag(dst / src) @ _CAT02
+
+
+@lru_cache(maxsize=None)
+def gamut_to_xyz(name: str) -> np.ndarray:
+    """RGB->XYZ(D65) matrix of a named working space (reference
+    lib/OpenDRT.py:56-74 embeds the same matrices as constants)."""
+    if name == "xyz":
+        return np.eye(3, dtype=np.float32)
+    r, g, b, w = _GAMUT_CHROMATICITIES[name]
+    m = _rgb_to_xyz_from_chromaticities(r, g, b, w)
+    if w != _WHITE_D65:
+        m = _cat02_adaptation(w, _WHITE_D65) @ m
+    return m.astype(np.float32)
+
+
+@lru_cache(maxsize=None)
+def xyz_to_display(name: str) -> np.ndarray:
+    """XYZ->display-RGB for the three display gamuts the reference supports
+    (lib/OpenDRT.py:76-78)."""
+    assert name in ("rec709", "p3d65", "rec2020"), name
+    return np.linalg.inv(gamut_to_xyz(name).astype(np.float64)).astype(np.float32)
+
+
+# Compiled default: in = Rec709, display = Rec709 — the gamut round-trip
+# composes to ~identity but we keep both multiplies for parity with the
+# reference's chain (lib/OpenDRT.py:327-329).
+_IN_TO_XYZ = gamut_to_xyz("rec709")
+_XYZ_TO_DISPLAY = xyz_to_display("rec709")
 
 
 def _sdiv(a, b):
@@ -102,25 +164,93 @@ def _narrow_hue_angles(v):
     return jnp.stack([r, g, b], axis=-1)
 
 
-# Tonescale intersection constants (reference lib/OpenDRT.py:305-319),
-# computed once at import for the compiled Lp=100 config.
-_PX = 128.0 * math.log10(LP) / math.log10(100.0) - 64.0
-_PY = LP / 100.0
-_GX = 0.18
-_GY = 11.696 / 100.0 * (1.0 + GB * math.log2(_PY))
-_S0 = _flare_scalar(_GY, FL)
-_M0 = _flare_scalar(_PY, FL)
-_IP = 1.0 / CONTRAST
-_S = (_PX * _GX * (_M0**_IP - _S0**_IP)) / (_PX * _S0**_IP - _GX * _M0**_IP)
-_M = _M0**_IP * (_S + _PX) / _PX
-_DS = 100.0 / LP  # linear EOTF display scale (reference lib/OpenDRT.py:270)
-_CLAMP_MAX = _DS * LP / 100.0
+# --- Display EOTFs (reference lib/OpenDRT.py:134-189) -----------------------
 
 
-def opendrt_transform(rgb):
-    """OpenDRT HDR->SDR (reference lib/OpenDRT.py:221-485, linear-EOTF path)."""
-    rgb = rgb @ jnp.asarray(_IN_TO_XYZ).T
-    rgb = rgb @ jnp.asarray(_XYZ_TO_DISPLAY).T
+def eotf_hlg(rgb, inverse: bool = False):
+    """Hybrid Log-Gamma EOTF with the BT.2100/BT.2390 surround model
+    (reference lib/OpenDRT.py:134-165; Lw=1000, Ls=5)."""
+    hlg_lw, hlg_ls = 1000.0, 5.0
+    a = 0.17883277
+    b = 1.0 - 4.0 * a
+    c = 0.5 - a * math.log10(4.0 * a)
+    g = (
+        1.2
+        * math.pow(1.111, math.log2(hlg_lw / 1000.0))
+        * math.pow(0.98, math.log2(max(1e-6, hlg_ls) / 5.0))
+    )
+    lum_w = jnp.asarray([0.2627, 0.6780, 0.0593])
+    if inverse:
+        yd = jnp.sum(rgb * lum_w, axis=-1, keepdims=True)
+        rgb = rgb * _spow(yd, (1.0 - g) / g)  # inverse OOTF
+        return jnp.where(  # OETF
+            rgb <= 1.0 / 12.0,
+            jnp.sqrt(jnp.maximum(3.0 * rgb, 0.0)),
+            a * jnp.log10(jnp.maximum(12.0 * rgb - b, 1e-12)) + c,
+        )
+    rgb = jnp.where(  # inverse OETF
+        rgb <= 0.5,
+        rgb * rgb / 3.0,
+        (jnp.power(10.0, (rgb - c) / a) + b) / 12.0,
+    )
+    ys = jnp.sum(rgb * lum_w, axis=-1, keepdims=True)
+    return rgb * _spow(ys, g - 1.0)  # OOTF
+
+
+def eotf_pq(rgb, inverse: bool = False):
+    """ST-2084 PQ EOTF, normalized so 1.0 = 10,000 nits
+    (reference lib/OpenDRT.py:167-189)."""
+    m1 = 2610.0 / 16384.0
+    m2 = 2523.0 / 32.0
+    c1 = 107.0 / 128.0
+    c2 = 2413.0 / 128.0
+    c3 = 2392.0 / 128.0
+    if inverse:
+        y = _spow(rgb, m1)
+        return _spow((c1 + c2 * y) / (1.0 + c3 * y), m2)
+    e = _spow(rgb, 1.0 / m2)
+    return _spow(jnp.maximum(e - c1, 0.0) / (c2 - c3 * e), 1.0 / m1)
+
+
+_EOTF_NAMES = ("lin", "srgb", "rec1886", "dci", "pq", "hlg")
+
+
+@lru_cache(maxsize=None)
+def _drt_constants(lp: float, eotf: str):
+    """Tonescale intersection constants + display scale for a (peak
+    luminance, EOTF) pair (reference lib/OpenDRT.py:260-319)."""
+    e = _EOTF_NAMES.index(eotf)
+    ds = 0.01 if e == 4 else (0.1 if e == 5 else 100.0 / lp)
+    px = 128.0 * math.log10(lp) / math.log10(100.0) - 64.0
+    py = lp / 100.0
+    gx = 0.18
+    gy = 11.696 / 100.0 * (1.0 + GB * math.log2(py))
+    s0 = _flare_scalar(gy, FL)
+    m0 = _flare_scalar(py, FL)
+    ip = 1.0 / CONTRAST
+    s = (px * gx * (m0**ip - s0**ip)) / (px * s0**ip - gx * m0**ip)
+    m = m0**ip * (s + px) / px
+    clamp_max = ds * lp / 100.0
+    return m, s, ds, clamp_max
+
+
+def opendrt_transform(
+    rgb,
+    in_gamut: str = "rec709",
+    display_gamut: str = "rec709",
+    eotf: str = "lin",
+    lp: float = LP,
+):
+    """OpenDRT HDR->SDR (reference lib/OpenDRT.py:221-485).
+
+    Defaults reproduce the reference's compiled config (Rec709 in/out,
+    linear EOTF, Lp=100 — lib/OpenDRT.py:39-55); the full working-space /
+    display-gamut / EOTF matrix the reference carries as dead branches is
+    selectable here.
+    """
+    _M, _S, _DS, _CLAMP_MAX = _drt_constants(float(lp), eotf)
+    rgb = rgb @ jnp.asarray(gamut_to_xyz(in_gamut)).T
+    rgb = rgb @ jnp.asarray(xyz_to_display(display_gamut)).T
 
     mx = jnp.max(rgb, axis=-1)
     mn = jnp.min(rgb, axis=-1)
@@ -163,7 +293,17 @@ def opendrt_transform(rgb):
 
     rgb = rats * ts[..., None]
     rgb = jnp.minimum(rgb, _CLAMP_MAX)
-    return rgb  # linear EOTF: no inverse-EOTF power (reference lib/OpenDRT.py:477-478)
+
+    # Inverse display EOTF (reference lib/OpenDRT.py:476-484); "lin" is a
+    # no-op — the compiled path the reference actually runs.
+    e = _EOTF_NAMES.index(eotf)
+    if 0 < e < 4:  # srgb / rec1886 / dci: pure power of 2.2 / 2.4 / 2.6
+        rgb = _spow(rgb, 1.0 / (2.0 + e * 0.2))
+    elif eotf == "pq":
+        rgb = eotf_pq(rgb, inverse=True)
+    elif eotf == "hlg":
+        rgb = eotf_hlg(rgb, inverse=True)
+    return rgb
 
 
 # ---------------------------------------------------------------------------

@@ -760,6 +760,32 @@ def sample_transmittance(
     return trans * cloud_trans[:, None]
 
 
+def speckle(p, density):
+    """Procedural point-light speckle field for nightlight shaping
+    (reference pathtracer.py:272-282 — present but unused there; rebuilt for
+    capability parity and usable as an optional emissive modulator).
+
+    For each of the 3x3 grid cells around ``p`` ((..., 2) texture-space
+    points), a jittered point is placed by hash22 and an exponentially
+    distributed amplitude drawn by hash12, scaled by ``density``, then
+    accumulated with an exp distance falloff. (The reference also computes a
+    Gaussian-mixture pdf per point but never uses it — dead even within the
+    dead function — so it is not reproduced.)
+    """
+    base = jnp.floor(p)
+    m = jnp.zeros(p.shape[:-1])
+    amp_scale = 1.5 * jnp.power(1.5 * jnp.clip(density, 0.0, 0.67), 1.5)
+    falloff = 6.0 / jnp.clip(density, 0.67, 1.0)
+    for y in (-1.0, 0.0, 1.0):
+        for x in (-1.0, 0.0, 1.0):
+            cell = base + jnp.asarray([x, y])
+            q = cell + mu.hash22(cell)
+            a = -jnp.log(1e-4 + (1.0 - 2e-4) * mu.hash12(q)) * amp_scale
+            dist = mu.length(p - q)
+            m = m + a * jnp.exp(-falloff * dist)
+    return m
+
+
 def get_land_material(atlas, pos, bilinear=True):
     """Albedo grading: darken/desaturate greenery, warm the deserts,
     desaturate the ocean, mix by the land-ocean mask

@@ -108,3 +108,73 @@ class TestPostprocess:
             crf.curves, jnp.int32(0), (8, 8), "agx",
         )
         assert (np.asarray(a) != np.asarray(b)).any()
+
+
+class TestGamutsAndEotfs:
+    """The working-space matrices and HDR EOTFs the reference carries as
+    dead branches (reference lib/OpenDRT.py:56-78,134-189), derived here
+    from published chromaticities + CAT02 rather than embedded constants."""
+
+    def test_gamut_matrices_match_published_values(self):
+        # Rec2020 (BT.2020 spec) and ACES AP0 (TB-2014-004) spot checks
+        rec2020 = film.gamut_to_xyz("rec2020")
+        np.testing.assert_allclose(
+            rec2020,
+            [
+                [0.636958122253, 0.144616916776, 0.168880969286],
+                [0.262700229883, 0.677998125553, 0.059301715344],
+                [0.000000000000, 0.028072696179, 1.060985088348],
+            ],
+            atol=5e-5,
+        )
+        ap0 = film.gamut_to_xyz("ap0")
+        np.testing.assert_allclose(
+            ap0,
+            [
+                [0.93863094875, -0.00574192055, 0.017566898852],
+                [0.338093594922, 0.727213902811, -0.065307497733],
+                [0.000723121511, 0.000818441849, 1.0875161874],
+            ],
+            atol=5e-4,  # CAT02 D60->D65 adaptation rounding
+        )
+
+    def test_all_gamuts_map_white_to_white(self):
+        white = jnp.ones((1, 3))
+        for name in film._GAMUT_CHROMATICITIES:
+            xyz = white @ jnp.asarray(film.gamut_to_xyz(name)).T
+            rgb = xyz @ jnp.asarray(film.xyz_to_display("rec709")).T
+            np.testing.assert_allclose(np.asarray(rgb), 1.0, atol=2e-3)
+
+    def test_xyz_to_display_inverts_gamut(self):
+        for name in ("rec709", "p3d65", "rec2020"):
+            m = film.gamut_to_xyz(name) @ film.xyz_to_display(name)
+            np.testing.assert_allclose(m, np.eye(3), atol=1e-5)
+
+    def test_pq_roundtrip(self):
+        v = jnp.asarray([[0.05, 0.3, 0.9]])
+        rt = film.eotf_pq(film.eotf_pq(v, inverse=True), inverse=False)
+        np.testing.assert_allclose(np.asarray(rt), np.asarray(v), atol=1e-4)
+
+    def test_hlg_roundtrip(self):
+        v = jnp.asarray([[0.05, 0.3, 0.9]])
+        rt = film.eotf_hlg(film.eotf_hlg(v, inverse=True), inverse=False)
+        np.testing.assert_allclose(np.asarray(rt), np.asarray(v), atol=1e-5)
+
+    def test_opendrt_configs_run_and_stay_bounded(self):
+        x = jnp.asarray(np.random.RandomState(0).rand(16, 3) * 8.0)
+        for eotf, lp in (("lin", 100.0), ("srgb", 100.0), ("pq", 1000.0), ("hlg", 1000.0)):
+            y = np.asarray(film.opendrt_transform(x, eotf=eotf, lp=lp))
+            assert np.isfinite(y).all()
+            assert y.max() <= 1.0 + 1e-5
+        for g in ("ap0", "arriwg3", "davinciwg"):
+            y = np.asarray(film.opendrt_transform(x, in_gamut=g, display_gamut="rec2020"))
+            assert np.isfinite(y).all()
+
+    def test_default_config_unchanged(self):
+        """The generalization must not move the compiled Rec709/lin path."""
+        x = jnp.asarray([[0.01, 0.18, 2.5]])
+        explicit = film.opendrt_transform(
+            x, in_gamut="rec709", display_gamut="rec709", eotf="lin", lp=100.0
+        )
+        default = film.opendrt_transform(x)
+        np.testing.assert_array_equal(np.asarray(explicit), np.asarray(default))

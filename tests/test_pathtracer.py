@@ -156,3 +156,17 @@ class TestTracePaths:
 
         expected = float(plancks(C.SUN_TEMPERATURE, jnp.array(550.0)))
         assert np.asarray(rad).min() >= expected * 0.99
+
+
+def test_speckle_shaper():
+    """Nightlight speckle field (reference pathtracer.py:272-282, rebuilt):
+    deterministic, non-negative, and increasing with density."""
+    from digital_earth_tpu.render.pathtracer import speckle
+
+    p = jnp.asarray(np.random.RandomState(1).rand(64, 2) * 50.0)
+    lo = np.asarray(speckle(p, jnp.full((64,), 0.1)))
+    hi = np.asarray(speckle(p, jnp.full((64,), 0.67)))
+    assert np.isfinite(lo).all() and (lo >= 0.0).all()
+    assert hi.mean() > lo.mean()
+    again = np.asarray(speckle(p, jnp.full((64,), 0.1)))
+    np.testing.assert_array_equal(lo, again)
