@@ -821,44 +821,65 @@ def get_land_material(atlas, pos, bilinear=True):
 # The wavefront bounce loop (reference pathtracer.py:316-469)
 # ---------------------------------------------------------------------------
 
+from typing import NamedTuple  # noqa: E402
 
-@partial(jax.jit, static_argnames=("cfg",))
-def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, luts,
-                cfg: TraceConfig = TraceConfig(), lambda_pdf=None):
-    """Trace one spectral path per lane.
 
-    Hero-wavelength packets (Wilkie et al. 2014): each path carries L
-    wavelengths; the hero (index 0) drives all sampling decisions, companions
-    ride along with per-collision pdf-ratio weights, and every contribution
-    is MIS-balanced over "which member is hero" (rotations of the spectral
-    domain are measure-preserving, so the balance denominator is
-    sum_k p_lambda(lambda_k) * W_k with W_k the tracked pdf ratios).
-    L = 1 reduces exactly to the reference's single-wavelength estimator
-    (reference renderer.py:310, pathtracer.py:316-469).
+class TraceState(NamedTuple):
+    """Per-lane wavefront state carried across bounce stages.
 
-    Args:
-      key: PRNG key for this wavefront.
-      ray_pos, ray_dir: (N, 3) camera rays.
-      wavelength: (N,) or (N, L) wavelengths in nm (member 0 = hero).
-      lambda_pdf: (N, L) CIE sampling density of each member (same units as
-        spectrum_sample's pdf). Defaults to 1 — then the L=1 return value is
-        raw radiance, matching the pre-packet API where the caller divides
-        by the pdf.
-
-    Returns:
-      (N,) radiance if wavelength was 1-D, else (N, L) MIS-weighted
-      per-wavelength radiance estimates (already divided by the spectral
-      pdfs; multiply by the CIE responses and sum over L for XYZ).
+    Two-level scheduling: the renderer runs the bounce loop in *stages*
+    (``run_bounces``) and compacts alive lanes between them, so tiles whose
+    lanes have all terminated exit their while-loops immediately instead of
+    pacing the worst lane for 25 bounces (SURVEY.md §7 "hard parts" #1).
     """
-    squeeze = wavelength.ndim == 1
-    if squeeze:
-        wavelength = wavelength[:, None]
+
+    pos: jnp.ndarray          # (N, 3)
+    direction: jnp.ndarray    # (N, 3)
+    wavelength: jnp.ndarray   # (N, L)
+    lambda_pdf: jnp.ndarray   # (N, L)
+    throughput: jnp.ndarray   # (N, L)
+    radiance: jnp.ndarray     # (N, L)
+    w_mis: jnp.ndarray        # (N, L)
+    alive: jnp.ndarray        # (N,) bool
+    primary_miss: jnp.ndarray # (N,) bool
+
+
+def init_state(ray_pos, ray_dir, wavelength, lambda_pdf=None) -> TraceState:
     n, L = wavelength.shape
     if lambda_pdf is None:
         lambda_pdf = jnp.ones((n, L))
+    return TraceState(
+        pos=ray_pos,
+        direction=ray_dir,
+        wavelength=wavelength,
+        lambda_pdf=lambda_pdf,
+        throughput=jnp.ones((n, L)),
+        radiance=jnp.zeros((n, L)),
+        w_mis=jnp.ones((n, L)),
+        alive=jnp.ones((n,), dtype=bool),
+        primary_miss=jnp.zeros((n,), dtype=bool),
+    )
+
+
+def run_bounces(
+    key, st: TraceState, scene: SceneParams, atlas, luts, cfg: TraceConfig,
+    bounce_start, bounce_stop,
+) -> TraceState:
+    """Advance the wavefront from ``bounce_start`` until ``bounce_stop`` (or
+    every lane terminates). The loop body reproduces the reference's scatter
+    loop (pathtracer.py:349-453); see trace_paths for the estimator notes.
+
+    ``bounce_start``/``bounce_stop`` may be traced scalars: the renderer's
+    stage scheduler compiles ONE stage function and sweeps the bounce window
+    dynamically (the loop is a while_loop, so trip counts are dynamic
+    anyway)."""
+    wavelength = st.wavelength
+    n, L = wavelength.shape
+    lambda_pdf = st.lambda_pdf
     scale = scene.land_height_scale
 
-    # Per-wavelength constants (reference pathtracer.py:332-343)
+    # Per-wavelength constants (reference pathtracer.py:332-343); pure VPU
+    # math on (n, L), recomputed per stage rather than carried.
     sun_power = sp.plancks(C.SUN_TEMPERATURE, wavelength)  # (n, L)
     nightlights_power = (
         sp.plancks(C.NIGHTLIGHT_TEMPERATURE, wavelength) * C.NIGHTLIGHT_SCALE
@@ -886,7 +907,7 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
     def cond(state):
         bounce = state[0]
         alive = state[6]
-        return (bounce < cfg.max_bounces) & jnp.any(alive)
+        return (bounce < bounce_stop) & jnp.any(alive)
 
     def body(state):
         (bounce, key, pos, direction, throughput, radiance, alive,
@@ -1072,44 +1093,107 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
         )
 
     init = (
-        0,
+        jnp.asarray(bounce_start, dtype=jnp.int32),
         key,
-        ray_pos,
-        ray_dir,
-        jnp.ones((n, L)),
-        jnp.zeros((n, L)),
-        jnp.ones((n,), dtype=bool),
-        jnp.zeros((n,), dtype=bool),
-        jnp.ones((n, L)),
+        st.pos,
+        st.direction,
+        st.throughput,
+        st.radiance,
+        st.alive,
+        st.primary_miss,
+        st.w_mis,
     )
     state = jax.lax.while_loop(cond, body, init)
-    throughput, radiance, primary_miss, w_mis = (
-        state[4], state[5], state[7], state[8]
+    return TraceState(
+        pos=state[2],
+        direction=state[3],
+        wavelength=wavelength,
+        lambda_pdf=lambda_pdf,
+        throughput=state[4],
+        radiance=state[5],
+        w_mis=state[8],
+        alive=state[6],
+        primary_miss=state[7],
     )
-    final_denom = jnp.maximum(jnp.sum(lambda_pdf * w_mis, axis=-1), 1e-12)[:, None]
 
-    # Miss shading: sun disk + stars (reference pathtracer.py:455-463).
-    # A primary miss happens at bounce 0 where the hero throughput is 1, but
-    # packet companions carry their null-collision pdf ratios (the per-lambda
-    # transmittance estimate of the escape), so throughput multiplies in.
-    sun_hit = primary_miss & (
-        jnp.sum(scene.light_direction * ray_dir, axis=-1) > scene.sun_cos_angle
+
+def shade_primary_miss(st: TraceState, scene, atlas, luts, cfg) -> TraceState:
+    """Miss shading: sun disk + stars for primary-miss lanes (reference
+    pathtracer.py:455-463). Valid once bounce 0 has run: miss lanes never
+    scatter, so ``st.direction`` is still the primary ray direction and
+    their throughput/w_mis froze at the miss.
+
+    A primary miss happens at bounce 0 where the hero throughput is 1, but
+    packet companions carry their null-collision pdf ratios (the per-lambda
+    transmittance estimate of the escape), so throughput multiplies in.
+    """
+    final_denom = jnp.maximum(
+        jnp.sum(st.lambda_pdf * st.w_mis, axis=-1), 1e-12
+    )[:, None]
+    sun_power = sp.plancks(C.SUN_TEMPERATURE, st.wavelength)
+    sun_hit = st.primary_miss & (
+        jnp.sum(scene.light_direction * st.direction, axis=-1)
+        > scene.sun_cos_angle
+    )
+    radiance = st.radiance + jnp.where(
+        sun_hit[:, None], st.throughput * sun_power / final_denom, 0.0
+    )
+    stars_srgb = tx.sample_dir_texture(
+        atlas.stars, st.direction, cfg.bilinear_materials
+    )
+    stars_power = sp.srgb_to_spectrum(
+        luts.srgb2spec, stars_srgb[:, None, :], st.wavelength
     )
     radiance = radiance + jnp.where(
-        sun_hit[:, None], throughput * sun_power / final_denom, 0.0
-    )
-    stars_srgb = tx.sample_dir_texture(atlas.stars, ray_dir, cfg.bilinear_materials)
-    stars_power = sp.srgb_to_spectrum(luts.srgb2spec, stars_srgb[:, None, :], wavelength)
-    radiance = radiance + jnp.where(
-        primary_miss[:, None],
-        throughput * stars_power * sun_power * C.STARS_SCALE / final_denom,
+        st.primary_miss[:, None],
+        st.throughput * stars_power * sun_power * C.STARS_SCALE / final_denom,
         0.0,
     )
+    return st._replace(radiance=radiance)
 
-    # NaN/Inf/negative clamp (reference pathtracer.py:466-467)
-    radiance = jnp.where(
-        jnp.isfinite(radiance) & (radiance >= 0.0), radiance, 0.0
+
+def finalize_radiance(st: TraceState):
+    """NaN/Inf/negative clamp (reference pathtracer.py:466-467)."""
+    return jnp.where(
+        jnp.isfinite(st.radiance) & (st.radiance >= 0.0), st.radiance, 0.0
     )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, luts,
+                cfg: TraceConfig = TraceConfig(), lambda_pdf=None):
+    """Trace one spectral path per lane (single-stage wavefront).
+
+    Hero-wavelength packets (Wilkie et al. 2014): each path carries L
+    wavelengths; the hero (index 0) drives all sampling decisions, companions
+    ride along with per-collision pdf-ratio weights, and every contribution
+    is MIS-balanced over "which member is hero" (rotations of the spectral
+    domain are measure-preserving, so the balance denominator is
+    sum_k p_lambda(lambda_k) * W_k with W_k the tracked pdf ratios).
+    L = 1 reduces exactly to the reference's single-wavelength estimator
+    (reference renderer.py:310, pathtracer.py:316-469).
+
+    Args:
+      key: PRNG key for this wavefront.
+      ray_pos, ray_dir: (N, 3) camera rays.
+      wavelength: (N,) or (N, L) wavelengths in nm (member 0 = hero).
+      lambda_pdf: (N, L) CIE sampling density of each member (same units as
+        spectrum_sample's pdf). Defaults to 1 — then the L=1 return value is
+        raw radiance, matching the pre-packet API where the caller divides
+        by the pdf.
+
+    Returns:
+      (N,) radiance if wavelength was 1-D, else (N, L) MIS-weighted
+      per-wavelength radiance estimates (already divided by the spectral
+      pdfs; multiply by the CIE responses and sum over L for XYZ).
+    """
+    squeeze = wavelength.ndim == 1
+    if squeeze:
+        wavelength = wavelength[:, None]
+    st = init_state(ray_pos, ray_dir, wavelength, lambda_pdf)
+    st = run_bounces(key, st, scene, atlas, luts, cfg, 0, cfg.max_bounces)
+    st = shade_primary_miss(st, scene, atlas, luts, cfg)
+    radiance = finalize_radiance(st)
     if squeeze:
         return radiance[:, 0]
     return radiance

@@ -101,3 +101,48 @@ class TestRenderer:
         img = r.fetch_image_np()
         assert img.shape == (18, 32, 3)
         assert img.dtype == np.uint8
+
+
+def test_compacted_stages_match_single_stage_energy():
+    """Two-level scheduling (stage compaction) must preserve the estimator:
+    a compacted render agrees with the single-stage render in expectation.
+    Exact equality is not expected (lanes draw different randomness after
+    re-batching), so compare mean energy over many spp, and require
+    determinism of the compacted path itself."""
+    from digital_earth_tpu.assets.procgen import generate_earth_textures
+    from digital_earth_tpu.assets.textures import build_atlas
+    from digital_earth_tpu.render.params import TraceConfig
+    from digital_earth_tpu.render.renderer import Renderer, _stage_bounds
+
+    cfg_one = TraceConfig(
+        max_bounces=8, land_march_steps=48, max_tracking_steps=256,
+        compact_after=0,
+    )
+    cfg_staged = TraceConfig(
+        max_bounces=8, land_march_steps=48, max_tracking_steps=256,
+        compact_after=2, compact_every=3, compact_tile=64,
+    )
+    assert _stage_bounds(cfg_one) == [0, 8]
+    assert _stage_bounds(cfg_staged) == [0, 2, 5, 8]
+
+    atlas = build_atlas(generate_earth_textures((64, 128), seed=3))
+
+    def render(cfg, seed, spp):
+        r = Renderer(image_res=(16, 8), atlas=atlas, tile_pixels=32, seed=seed, cfg=cfg)
+        r.set_camera_pos(35963490.0, 12765367.0, -42445899.0)
+        r.set_look_at(23201393.0, 8394073.0, -26074562.0)
+        r.set_fov(0.3)
+        for _ in range(spp):
+            r.accumulate()
+        return np.asarray(r.color_buffer) / spp
+
+    a = render(cfg_staged, 0, 12)
+    assert np.isfinite(a).all() and (a != 0).any()
+    # same seed, same config -> bit-identical (determinism of the staged path)
+    a2 = render(cfg_staged, 0, 12)
+    np.testing.assert_array_equal(a, a2)
+    # energy agreement within Monte-Carlo error (single-seed means spread
+    # ~±20% on this tiny render, so average over seeds)
+    ma = np.mean([render(cfg_staged, s, 12).mean() for s in range(4)])
+    mb = np.mean([render(cfg_one, s, 12).mean() for s in range(4)])
+    assert abs(ma - mb) / max(mb, 1e-12) < 0.2, (ma, mb)
