@@ -21,8 +21,8 @@ import numpy as np
 def _upsample_wrap(grid, h, w):
     """Bilinear upsample a coarse (gh, gw) grid to (h, w), wrapping in x."""
     gh, gw = grid.shape
-    y = np.linspace(0.0, gh - 1.0, h)
-    x = np.linspace(0.0, gw, w, endpoint=False)
+    y = np.linspace(0.0, gh - 1.0, h, dtype=grid.dtype)
+    x = np.linspace(0.0, gw, w, endpoint=False, dtype=grid.dtype)
     y0 = np.floor(y).astype(int)
     y1 = np.minimum(y0 + 1, gh - 1)
     ty = (y - y0)[:, None]
@@ -36,14 +36,18 @@ def _upsample_wrap(grid, h, w):
 
 def fbm(rng, h, w, octaves=6, base=4, gain=0.5, lacunarity=2.0):
     """Fractal value noise in [0, 1]-ish (zero-mean sum, renormalized)."""
-    total = np.zeros((h, w))
+    # f32 for large tiers only: at 21600x10800 the f64 temporaries make
+    # generation memory-bound (1.9 GB per full-res array); small (golden-
+    # covered) resolutions keep f64 so cached/golden outputs stay stable.
+    dtype = np.float32 if h * w >= 8100 * 4050 else np.float64
+    total = np.zeros((h, w), dtype=dtype)
     amp = 1.0
     freq = base
     norm = 0.0
     for _ in range(octaves):
         gh = max(2, int(freq))
         gw = max(4, int(freq * 2))
-        grid = rng.standard_normal((gh, gw))
+        grid = rng.standard_normal((gh, gw)).astype(dtype)
         total += amp * _upsample_wrap(grid, h, w)
         norm += amp
         amp *= gain

@@ -117,7 +117,9 @@ def _table_tex() -> Tex2D:
     bilinear table eval inside compiled loops (875 -> ~17 ns/lane for a
     full transmittance query)."""
     with jax.ensure_compile_time_eval():
-        return Tex2D.from_array(np.asarray(_build_table()))
+        # f32 storage: the builder's f64 is for accumulation accuracy only;
+        # f64 rows would double-to-octuple every row-gather's bytes
+        return Tex2D.from_array(np.asarray(_build_table(), dtype=np.float32))
 
 
 @lru_cache(maxsize=1)
@@ -126,7 +128,9 @@ def _row_totals():
     query's endpoint, fetched from a tiny dedicated table instead of the
     wide one."""
     with jax.ensure_compile_time_eval():
-        return Tex2D.from_array(np.asarray(_build_table())[:, -1:, :])
+        return Tex2D.from_array(
+            np.asarray(_build_table()[:, -1:, :], dtype=np.float32)
+        )
 
 
 def _build_table():

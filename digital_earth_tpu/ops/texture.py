@@ -77,24 +77,31 @@ class Tex2D:
 def _fetch_texel(tex: Tex2D, iy, ix):
     """Row-gather fetch of texel (iy, ix) -> (..., C) float in [0,1] for uint8.
 
-    One (n, 128) row gather + C one-hot lane selects (pure VPU math).
+    One (n, 128) row gather + a one-hot texel select (pure VPU math). The
+    row layout is texel-contiguous (texel t's C channels sit at lanes
+    [t%tpr*C, ...+C)), so the select reshapes the row to (tpr, C) and
+    one-hots over the tpr texels — C-fold less select math than one-hotting
+    each channel over all 128 lanes (profiled equal to the gather itself in
+    the tracking loops before this change).
     """
     c = tex.channels
     tpr = tex.texels_per_row
     texel = iy * tex.w + ix
     r = texel // tpr
-    lane0 = (texel % tpr) * c
+    ti = texel % tpr
     rows = tex.rows[r]  # (..., 128) row gather — the only memory access
+    g = rows[..., : tpr * c].reshape(rows.shape[:-1] + (tpr, c))
+    sel = jnp.arange(tpr, dtype=ti.dtype) == ti[..., None]
     if rows.dtype == jnp.uint8:
-        rows = rows.astype(jnp.float32) * (1.0 / 255.0)
-    lane_iota = jnp.arange(LANES, dtype=lane0.dtype)
-    outs = [
-        jnp.sum(
-            rows * (lane_iota == (lane0[..., None] + ci)).astype(rows.dtype), axis=-1
+        # select in uint8 (one-hot row ⇒ the u8 reduce cannot overflow) and
+        # convert only the C selected channels — converting the full
+        # 128-lane row first was the top leaf op in the tracking loops
+        picked = jnp.sum(
+            jnp.where(sel[..., None], g, jnp.uint8(0)), axis=-2,
+            dtype=jnp.uint8,
         )
-        for ci in range(c)
-    ]
-    return jnp.stack(outs, axis=-1)
+        return picked.astype(jnp.float32) * (1.0 / 255.0)
+    return jnp.sum(g * sel[..., None].astype(rows.dtype), axis=-2)
 
 
 def _wrap_coords(tex: Tex2D, u, v):

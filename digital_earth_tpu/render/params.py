@@ -86,6 +86,15 @@ class TraceConfig:
     # plain sphere march (render/tracking_naive.py) instead of the
     # accelerated implementations. Slower; for parity checks and debugging.
     naive_tracking: bool = False
+    # Next-event estimation Russian roulette on deep bounces: past
+    # nee_rr_start, each lane runs the NEE shadow track only with
+    # probability nee_rr_prob (contribution reweighted by 1/prob —
+    # unbiased). Measured a wash on TPU (13.32 vs 13.34 s/spp at 1080p):
+    # tracking loops run at worst-lane pace, so thinning lanes inside a
+    # SIMD tile frees no time. Off by default; kept for schedulers that
+    # regroup NEE work (and as documentation of the negative result).
+    nee_rr_start: int = C.MULTISCATTER_BOUNCE
+    nee_rr_prob: float = 1.0
     # Two-level scheduling: run the bounce loop in stages and compact alive
     # lanes between them, so tiles of terminated lanes exit immediately
     # instead of pacing the worst lane through all 25 bounces. Stage 1 covers

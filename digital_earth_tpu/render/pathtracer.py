@@ -842,6 +842,13 @@ class TraceState(NamedTuple):
     w_mis: jnp.ndarray        # (N, L)
     alive: jnp.ndarray        # (N,) bool
     primary_miss: jnp.ndarray # (N,) bool
+    # workload class of the lane's NEXT bounce, for homogeneous SIMD
+    # scheduling (renderer stage compaction bins by it): 0 = cloud
+    # scatter, 1 = gas scatter, 2 = surface bounce. Tracking loops run at
+    # worst-lane pace, so mixing a 200-iteration near-terrain lane into a
+    # tile of in-cloud lanes stalls all 32K of them; binning makes each
+    # stage tile's iteration profile uniform.
+    work_class: jnp.ndarray   # (N,) int32
 
 
 def init_state(ray_pos, ray_dir, wavelength, lambda_pdf=None) -> TraceState:
@@ -858,6 +865,7 @@ def init_state(ray_pos, ray_dir, wavelength, lambda_pdf=None) -> TraceState:
         w_mis=jnp.ones((n, L)),
         alive=jnp.ones((n,), dtype=bool),
         primary_miss=jnp.zeros((n,), dtype=bool),
+        work_class=jnp.zeros((n,), dtype=jnp.int32),
     )
 
 
@@ -911,7 +919,7 @@ def run_bounces(
 
     def body(state):
         (bounce, key, pos, direction, throughput, radiance, alive,
-         primary_miss, w_mis) = state
+         primary_miss, w_mis, work_class) = state
 
         # cloud extinction drops after bounce 9 (reference pathtracer.py:351-352)
         ext_w_scalar = jnp.where(
@@ -1030,10 +1038,25 @@ def run_bounces(
         # merged NEE transmittance (reference pathtracer.py:387,424)
         nee_origin = jnp.where(surface[:, None], offset_pos, int_pos)
         nee_active = vol_nee | sur_nee
+        # deep-bounce NEE Russian roulette (cfg.nee_rr_*): keep the shadow
+        # track with prob p, reweight by 1/p — unbiased decimation of the
+        # dominant cloud ratio-tracking on the multi-scatter tail
+        if cfg.nee_rr_prob < 1.0:
+            u_nee = jax.random.uniform(keys[7], (n,))
+            rr_nee = bounce > cfg.nee_rr_start
+            nee_keep = (~rr_nee) | (u_nee < cfg.nee_rr_prob)
+            nee_active = nee_active & nee_keep
+            nee_w = jnp.where(rr_nee, 1.0 / cfg.nee_rr_prob, 1.0)
+        else:
+            nee_w = jnp.ones(())
         trans = sample_transmittance(
             keys[3], nee_origin, light_dir, jnp.full((n,), -1.0), ext_rmo, ext_w,
             max_ext_rmo, max_ext_cloud, atlas, nee_active, cfg,
         )  # (n, L)
+        if cfg.nee_rr_prob < 1.0:
+            trans = trans * jnp.where(nee_active, nee_w, 0.0)[:, None]
+            vol_nee = vol_nee & nee_keep
+            sur_nee = sur_nee & nee_keep
 
         reduce_peak = bounce > 0
         phase_d = vol.evaluate_phase(direction, light_dir, iid, reduce_peak)
@@ -1087,9 +1110,17 @@ def run_bounces(
         )
         alive = alive & ~killed
 
+        # workload class of the lane's next bounce (stage-compaction bin)
+        in_cloud = (iid == C.CLOUD_ID) | (iid == C.ISOTROPIC_CLOUD_ID)
+        work_class = jnp.where(
+            alive,
+            jnp.where(scatter & in_cloud, 0, jnp.where(scatter, 1, 2)),
+            work_class,
+        )
+
         return (
             bounce + 1, key, new_pos, new_dir, new_thr, radiance, alive,
-            primary_miss, w_mis,
+            primary_miss, w_mis, work_class,
         )
 
     init = (
@@ -1102,6 +1133,7 @@ def run_bounces(
         st.alive,
         st.primary_miss,
         st.w_mis,
+        st.work_class,
     )
     state = jax.lax.while_loop(cond, body, init)
     return TraceState(
@@ -1114,6 +1146,7 @@ def run_bounces(
         w_mis=state[8],
         alive=state[6],
         primary_miss=state[7],
+        work_class=state[9],
     )
 
 

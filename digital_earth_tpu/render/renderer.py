@@ -65,14 +65,29 @@ def _pick_block_dims(w: int, h: int, target: int) -> Tuple[int, int]:
     return best
 
 
-def _compact_by_alive(tree, alive):
-    """Stable partition of every (N, ...) leaf so alive lanes come first.
+def _compact_by_alive(tree, alive, work_class=None, n_bins=3):
+    """Stable partition of every (N, ...) leaf: alive lanes first, dead
+    last. With ``work_class`` (int32 in [0, n_bins)), alive lanes are
+    additionally binned by class — a stable counting sort — so each
+    compact-tile's lanes share an iteration profile (tracking loops run at
+    worst-lane pace; a mixed tile runs every lane at the slowest class's
+    trip count).
 
-    Static shapes throughout: a cumsum-based permutation, one scatter to
-    build it, one gather per leaf. Returns (permuted_tree, src_perm)."""
+    Static shapes throughout: cumsum-based ranks, one scatter to build the
+    permutation, one gather per leaf. Returns (permuted_tree, src_perm)."""
     n = alive.shape[0]
-    n_alive = jnp.cumsum(alive)
-    dest = jnp.where(alive, n_alive - 1, n_alive[-1] + jnp.cumsum(~alive) - 1)
+    if work_class is None:
+        key = jnp.where(alive, 0, 1)
+        n_bins = 2
+    else:
+        key = jnp.where(alive, jnp.clip(work_class, 0, n_bins - 1), n_bins)
+        n_bins = n_bins + 1
+    one_hot = key[None, :] == jnp.arange(n_bins, dtype=key.dtype)[:, None]
+    ranks = jnp.cumsum(one_hot, axis=1)  # (n_bins, N) 1-based rank in bin
+    counts = ranks[:, -1]
+    offsets = jnp.concatenate([jnp.zeros((1,), counts.dtype),
+                               jnp.cumsum(counts)[:-1]])
+    dest = (offsets[key] + ranks[key, jnp.arange(n)] - 1).astype(jnp.int32)
     src = jnp.zeros((n,), dtype=jnp.int32).at[dest].set(
         jnp.arange(n, dtype=jnp.int32)
     )
@@ -182,7 +197,7 @@ def _render_step(
             def stage_body(carry):
                 b0, st, responses, lane_id = carry
                 (st, responses, lane_id), _ = _compact_by_alive(
-                    (st, responses, lane_id), st.alive
+                    (st, responses, lane_id), st.alive, st.work_class
                 )
                 bkey = jax.random.fold_in(skey, b0)
                 b1 = jnp.minimum(b0 + width, cfg.max_bounces)
