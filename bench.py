@@ -25,8 +25,12 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--spp", type=int, default=2, help="timed spp after warmup")
-    ap.add_argument("--tile", type=int, default=800)
-    ap.add_argument("--texture-res", type=int, default=1024)
+    ap.add_argument("--tile", type=int, default=2048)
+    ap.add_argument(
+        "--texture-res", type=int, default=1024,
+        help="procedural texture height; 10800 = the reference's tier-2 "
+        "21600x10800 scale (reference lib/textures.py:65-79)",
+    )
     ap.add_argument("--out", default=None, help="optionally save the frame PNG")
     args = ap.parse_args()
 
@@ -80,6 +84,7 @@ def main():
         "device": str(jax.devices()[0]),
         "resolution": [args.width, args.height],
         "spp_timed": args.spp,
+        "texture_res": [2 * args.texture_res, args.texture_res],
         "seconds_per_spp": round(dt / args.spp, 3),
         "warmup_s": round(warmup_s, 1),
         "hero_lambdas": hero_l,

@@ -98,16 +98,38 @@ class EarthViewer:
         screenshot_dir: str = "screenshot",
         port: int = 8000,
         adaptive_fps: float = 0.0,
+        preview_scale: int = 4,
         **renderer_kwargs,
     ):
         """``adaptive_fps`` > 0 enables the adaptive samples-per-frame
         controller targeting that rate (the reference ships this commented
-        out, earth_viewer.py:253-257)."""
+        out, earth_viewer.py:253-257).
+
+        ``preview_scale`` > 0 enables interactive-by-default progressive
+        escalation: while the camera moves (and for the first frame after
+        any scene change) the loop renders the deterministic single-scatter
+        raymarcher at ``image_res / preview_scale`` instead of blocking the
+        browser behind a multi-second path-traced spp; once input goes
+        idle, frames escalate to the path tracer. 0 disables (reference
+        behavior: every frame is path-traced)."""
         if renderer is None:
             from ..render.renderer import Renderer
 
             renderer = Renderer(image_res=image_res, **renderer_kwargs)
         self.renderer = renderer
+        self.preview_renderer = None
+        # (stub renderers in tests lack atlas/luts — escalation is a real-
+        # renderer feature only)
+        if preview_scale and hasattr(renderer, "atlas"):
+            from ..render.renderer import Renderer
+
+            w, h = self.renderer.image_res
+            pw, ph = max(w // preview_scale, 32), max(h // preview_scale, 18)
+            self.preview_renderer = Renderer(
+                image_res=(pw, ph), atlas=self.renderer.atlas,
+                luts=self.renderer.luts, crf=self.renderer.crf,
+                cfg=self.renderer.cfg, mode="preview",
+            )
         self.camera = CameraController()
         self.config_path = config_path
         self.screenshot_dir = screenshot_dir
@@ -122,6 +144,15 @@ class EarthViewer:
         self._pending_rot = [0.0, 0.0]
         self._paths_per_sec = 0.0
         self._running = False
+        # progressive escalation state: "preview" until the path tracer has
+        # its first spp for the current pose, then "path"
+        self._frame_source = "preview" if preview_scale else "path"
+        self._frame_time = 0.0
+        self._scene_dirty = True
+        self._last_frame = None
+        self._frame_stamp = 0
+        self._png_cache = None
+        self._png_stamp = -1
         self.camera.push_to(self.renderer)
         os.makedirs(screenshot_dir, exist_ok=True)
         if os.path.exists(config_path):
@@ -148,20 +179,58 @@ class EarthViewer:
         print(f"Screenshot has been saved to {fname}")
         return fname
 
+    def _sync_preview_state(self):
+        """Mirror scene/postprocess scalars onto the preview renderer."""
+        p, r = self.preview_renderer, self.renderer
+        p.sun_angle = r.sun_angle
+        p.sun_path_rot = r.sun_path_rot
+        p.fov = r.fov
+        p.aspect_scale = r.aspect_scale
+        p.land_height_scale = r.land_height_scale
+        p.exposure = r.exposure
+        p.gamma = r.gamma
+        p.selected_crf = r.selected_crf
+
+    def _snapshot_frame(self):
+        """Cache the current frame as a displayable array (called by the
+        render loop while it already holds the render lock) so /frame.png
+        never has to wait behind a multi-second accumulate at high res."""
+        from PIL import Image
+
+        if self._frame_source == "preview" and self.preview_renderer:
+            img = self.preview_renderer.fetch_image_np()
+            pil = Image.fromarray(img).resize(
+                (self.renderer.image_res[0], self.renderer.image_res[1]),
+                Image.BILINEAR,
+            )
+            self._last_frame = np.asarray(pil)
+        else:
+            self._last_frame = self.renderer.fetch_image_np()
+        self._frame_stamp += 1
+
     def _frame_png(self) -> bytes:
         from PIL import Image
 
-        with self._render_lock:
-            img = self.renderer.fetch_image_np()
-        buf = io.BytesIO()
-        Image.fromarray(img).save(buf, format="PNG")
-        return buf.getvalue()
+        if self._last_frame is None:
+            with self._render_lock:
+                self._snapshot_frame()
+        frame, stamp = self._last_frame, self._frame_stamp
+        if self._png_cache is None or self._png_stamp != stamp:
+            buf = io.BytesIO()
+            # compress_level=1: ~10x faster than PIL's default at 1080p
+            # (the default encode alone was ~2 s per fetch); localhost
+            # bandwidth is free
+            Image.fromarray(frame).save(buf, format="PNG", compress_level=1)
+            self._png_cache, self._png_stamp = buf.getvalue(), stamp
+        return self._png_cache
 
     def _state(self) -> dict:
         r = self.renderer
         return {
             "spp": r.current_spp,
             "paths_per_sec": self._paths_per_sec,
+            "frame_source": self._frame_source,
+            "frame_time": round(self._frame_time, 3),
             "crf_name": r.crf_names[r.selected_crf],
             "sliders": {
                 "sun_angle": np.degrees(r.sun_angle),
@@ -194,6 +263,22 @@ class EarthViewer:
         return reset
 
     # --- render loop -----------------------------------------------------
+    @staticmethod
+    def _sync(buf):
+        """Wait for a device buffer WITHOUT blocking inside the runtime: a
+        C-level block (np.asarray / block_until_ready) was measured holding
+        the GIL for the whole multi-second step on the tunneled TPU
+        backend, starving the HTTP threads (every /state took ~2 s). A
+        python sleep-poll releases the GIL while the chip works."""
+        is_ready = getattr(buf, "is_ready", None)
+        if is_ready is None:
+            np.asarray(buf)
+            return
+        # coarse poll: is_ready() itself can be a blocking tunnel RPC that
+        # holds the GIL, so polling it tightly starves the HTTP threads
+        while not buf.is_ready():
+            time.sleep(0.25)
+
     def _render_loop(self):
         from ..utils.profiling import AdaptiveSpp
 
@@ -215,10 +300,29 @@ class EarthViewer:
                 if moved:
                     self.camera.push_to(self.renderer)
                     self.renderer.reset_framebuffer()
+                dirty = moved or self._scene_dirty
+                self._scene_dirty = False
+                # interactive escalation: a moving camera / changed scene
+                # gets a preview frame (sub-second) instead of queueing
+                # behind a full path-traced spp; idle frames path-trace
+                if dirty and self.preview_renderer is not None:
+                    self.camera.push_to(self.preview_renderer)
+                    self._sync_preview_state()
+                    self.preview_renderer.reset_framebuffer()
+                    self.preview_renderer.accumulate()
+                    self._sync(self.preview_renderer.color_buffer)
+                    self._frame_source = "preview"
+                    self._snapshot_frame()
+                    self._frame_time = time.time() - t0
+                    elapsed = max(time.time() - t0, 1e-4)
+                    continue
                 for _ in range(spp_per_frame):
                     self.renderer.accumulate()
-                np.asarray(self.renderer.color_buffer)  # sync
+                self._sync(self.renderer.color_buffer)
+                self._frame_source = "path"
+                self._snapshot_frame()
             elapsed = max(time.time() - t0, 1e-4)
+            self._frame_time = elapsed
             self._paths_per_sec = n_pixels * spp_per_frame / elapsed
             if controller is not None:
                 spp_per_frame = controller.update(elapsed)
@@ -261,12 +365,14 @@ class EarthViewer:
                     with viewer._render_lock:
                         if viewer._apply_set(q):
                             viewer.renderer.reset_framebuffer()
+                            viewer._scene_dirty = True
                     body, ctype = b"ok", "text/plain"
                 elif url.path == "/save":
                     viewer.save(); body, ctype = b"saved", "text/plain"
                 elif url.path == "/load":
                     with viewer._render_lock:
                         viewer.load()
+                        viewer._scene_dirty = True
                     body, ctype = b"loaded", "text/plain"
                 elif url.path == "/screenshot":
                     body, ctype = viewer.screenshot().encode(), "text/plain"

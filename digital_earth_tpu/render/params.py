@@ -86,6 +86,13 @@ class TraceConfig:
     # plain sphere march (render/tracking_naive.py) instead of the
     # accelerated implementations. Slower; for parity checks and debugging.
     naive_tracking: bool = False
+    # March-on-demand: track free flights first (against the base-sphere
+    # cap) and run the land march only for lanes whose event falls outside
+    # the terrain-free ball one topo tap certifies at the ray origin.
+    # In-cloud multi-scatter bounces over ocean/lowland (the dominant deep
+    # workload) skip the march entirely. False restores the reference's
+    # march-first order.
+    lazy_march: bool = True
     # Next-event estimation Russian roulette on deep bounces: past
     # nee_rr_start, each lane runs the NEE shadow track only with
     # probability nee_rr_prob (contribution reweighted by 1/prob —

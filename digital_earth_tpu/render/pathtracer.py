@@ -932,15 +932,68 @@ def run_bounces(
         key = keys[0]
 
         # 1. land intersection, 2. free-flight sampling capped at the land
-        # hit (reference pathtracer.py:359-368). A track-first reorder (march
-        # capped at the sampled event) was measured slower: it trades march
-        # iterations for *more* tracking iterations on exactly the grazing
-        # near-terrain lanes that set the worst-lane pace.
-        earth = _march(atlas.topography, pos, direction, scale, alive, cfg)
-        event, t_int, iid = sample_interaction(
-            keys[1], pos, direction, earth, ext_rmo, ext_w, max_ext_rmo,
-            max_ext_cloud, atlas, alive, cfg,
-        )
+        # hit (reference pathtracer.py:359-368).
+        if cfg.naive_tracking or not cfg.lazy_march:
+            # march-first (reference order). A track-first reorder with the
+            # march capped at the sampled event was measured slower: it
+            # trades march iterations for *more* tracking iterations on
+            # exactly the grazing near-terrain lanes that set the pace.
+            earth = _march(atlas.topography, pos, direction, scale, alive, cfg)
+            event, t_int, iid = sample_interaction(
+                keys[1], pos, direction, earth, ext_rmo, ext_w, max_ext_rmo,
+                max_ext_cloud, atlas, alive, cfg,
+            )
+        else:
+            # March-on-demand: ONE topo tap at the ray origin certifies a
+            # terrain-free ball (regional dilated-max mips bound terrain
+            # radius within their validity radii; any ray from a point at
+            # radius r travels min(valid, r - bound_radius) before it can
+            # touch terrain). Tracking runs first against the base-sphere
+            # cap (terrain lies above planet_r, so the true land hit — if
+            # any — precedes the base-sphere hit; events sampled past the
+            # land hit are demoted below, which leaves the distribution of
+            # events *before* the hit untouched: free-flight sampling is
+            # sequential). Lanes whose volume event lands inside the free
+            # ball — the common case for in-cloud multi-scatter over ocean
+            # or lowland — never march at all.
+            tap = tx.sample_sphere_texture(
+                atlas.topography, pos, bilinear=cfg.bilinear_tracking
+            )
+            r_len = mu.length(pos)
+            d_free = jnp.maximum(
+                jnp.minimum(
+                    _MIP_VALID_FINE,
+                    r_len - (C.PLANET_R + scale * tap[..., 1]),
+                ),
+                jnp.minimum(
+                    _MIP_VALID_COARSE,
+                    r_len - (C.PLANET_R + scale * tap[..., 2]),
+                ),
+            )
+            base_near, _ = mu.rsi(pos, direction, C.PLANET_R)
+            cap_proxy = jnp.where(base_near > 0.0, base_near, -1.0)
+            event, t_int, iid = sample_interaction(
+                keys[1], pos, direction, cap_proxy, ext_rmo, ext_w,
+                max_ext_rmo, max_ext_cloud, atlas, alive, cfg,
+            )
+            need_march = alive & (
+                (event == NULL_EVENT) | (t_int > jnp.maximum(d_free, 0.0))
+            )
+            t_cap = jnp.where(event > NULL_EVENT, t_int, 1e30)
+
+            def do_march(_):
+                return _march(
+                    atlas.topography, pos, direction, scale, need_march,
+                    cfg, t_cap=t_cap,
+                )
+
+            earth = jax.lax.cond(
+                jnp.any(need_march), do_march,
+                lambda _: jnp.full((n,), -1.0), None,
+            )
+            # demote events sampled beyond the (now-known) land hit
+            demote = (event > NULL_EVENT) & (earth >= 0.0) & (earth <= t_int)
+            event = jnp.where(demote, NULL_EVENT, event)
 
         # hero-packet MIS weight of this bounce's flight outcome
         if L > 1:

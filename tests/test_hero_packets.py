@@ -77,10 +77,17 @@ class TestHeroPackets:
         assert (np.abs(z) < 4.0).all(), (a.mean(0), b.mean(0), z)
 
     def test_packet_reduces_variance(self, scene):
+        # average the variance estimate over seeds: a single 2048-lane
+        # variance of a heavy-tailed estimator is itself noisy enough to
+        # flip a fixed 20% threshold on an RNG-stream change
         n = 2048
-        xyz1 = _trace_mean_xyz(scene, 1, n, jax.random.PRNGKey(4))
-        xyz4 = _trace_mean_xyz(scene, 4, n, jax.random.PRNGKey(5))
+        v1 = float(np.mean([
+            _trace_mean_xyz(scene, 1, n, jax.random.PRNGKey(4 + s))[:, 1].var()
+            for s in range(3)
+        ]))
+        v4 = float(np.mean([
+            _trace_mean_xyz(scene, 4, n, jax.random.PRNGKey(24 + s))[:, 1].var()
+            for s in range(3)
+        ]))
         # per-sample variance of the luminance channel should drop materially
-        v1 = xyz1[:, 1].var()
-        v4 = xyz4[:, 1].var()
         assert v4 < v1 * 0.8, (v1, v4)

@@ -145,3 +145,60 @@ class TestViewerHTTP:
         with pytest.raises(urllib.error.HTTPError) as e:
             _get(viewer, "/nonexistent")
         assert e.value.code == 404
+
+
+class TestProgressiveEscalation:
+    """Interactive-by-default: moving/scene changes render the preview
+    raymarcher at reduced res; idle frames escalate to the path tracer
+    (viewer._render_loop + _frame_png)."""
+
+    @pytest.fixture()
+    def esc_viewer(self, tmp_path):
+        v = EarthViewer(
+            renderer=StubRenderer(image_res=(32, 18)),
+            config_path=str(tmp_path / "config.txt"),
+            screenshot_dir=str(tmp_path / "shots"),
+            port=0,
+        )
+        v.preview_renderer = StubRenderer(image_res=(8, 5))
+        v._running = True
+        t = threading.Thread(target=v._render_loop, daemon=True)
+        t.start()
+        server = v.make_server(host="127.0.0.1", port=0)
+        st = threading.Thread(target=server.serve_forever, daemon=True)
+        st.start()
+        v._test_port = server.server_address[1]
+        yield v
+        v._running = False
+        server.shutdown()
+
+    def test_idle_frames_are_path_traced(self, esc_viewer):
+        time.sleep(0.3)
+        assert esc_viewer._frame_source == "path"
+        assert esc_viewer.renderer.current_spp > 0
+
+    def test_scene_change_yields_preview_then_escalates(self, esc_viewer):
+        time.sleep(0.2)
+        p0 = esc_viewer.preview_renderer.resets
+        _get(esc_viewer, "/set?sun_angle=12")
+        # a preview frame lands quickly for the changed scene
+        deadline = time.time() + 2.0
+        while time.time() < deadline and esc_viewer.preview_renderer.resets == p0:
+            time.sleep(0.01)
+        assert esc_viewer.preview_renderer.resets > p0
+        # preview scene scalars mirrored from the main renderer
+        assert esc_viewer.preview_renderer.sun_angle == pytest.approx(
+            esc_viewer.renderer.sun_angle
+        )
+        # and with no further input, frames escalate back to the path tracer
+        time.sleep(0.4)
+        assert esc_viewer._frame_source == "path"
+
+    def test_preview_frame_png_upscales_to_full_res(self, esc_viewer):
+        from PIL import Image
+        import io as _io
+
+        esc_viewer._frame_source = "preview"
+        png = esc_viewer._frame_png()
+        img = Image.open(_io.BytesIO(png))
+        assert img.size == (32, 18)
