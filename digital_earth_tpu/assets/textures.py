@@ -93,31 +93,47 @@ class TextureAtlas(NamedTuple):
     stars: Tex2D
 
 
-# Majorant mip geometry. A tap certifies a bound within the VALID radius; the
-# build dilation exceeds it by at least one cell at every mip resolution
-# (taps can sit anywhere inside their cell). Must match the skip strides in
-# render/pathtracer.py.
-MIP_FINE_H = 1024  # ~20 km cells at full resolution (fewer on tiny maps)
+# Majorant mip geometry. A tap certifies a bound within the VALID radius;
+# the build dilation exceeds it by the cell diagonal (taps can sit anywhere
+# inside their cell), computed per build from the actual mip cell size.
+# Validity radii must match the skip strides in render/pathtracer.py.
+#
+# The CLOUD fine validity is deliberately small: dilation widens every
+# "cloudy" zone by ~dilate on each side, and sun-facing NEE chords
+# Woodcock-crawl through that fake-cloudy margin at ~350 m majorant steps —
+# the dominant loop of a cloudy frame. 8 km validity + one ~20 km cell
+# dilates ~36 km less than the round-1 45 km build at identical safety.
+# TOPO keeps the wider 25 km validity: the land march *benefits* from long
+# certified skips and its cost is bounded by the analytic bound-sphere cull.
+MIP_FINE_H = 4096  # capped at map resolution (cells = texels below 4096 rows)
 MIP_COARSE_H = 128  # ~156 km cells
-MIP_FINE_VALID_KM = 25.0
+MIP_FINE_VALID_KM = 25.0          # topo march fine validity
+MIP_CLOUD_FINE_VALID_KM = 8.0     # cloud tracker fine validity
 MIP_COARSE_VALID_KM = 115.0
-MIP_FINE_DILATE_KM = 45.0
-MIP_COARSE_DILATE_KM = 130.0
 
 
 def build_max_mip(
     img: np.ndarray,
-    dilate_km: float,
+    dilate_km: float = None,
     mip_h: int = MIP_COARSE_H,
     mip_w: int = 2 * MIP_COARSE_H,
     shell_r: float = 6371e3 + 10e3,
+    valid_km: float = None,
 ) -> np.ndarray:
     """Coarse (mip_h, mip_w) max-pool of a scalar map, dilated so that the
     cell containing any point conservatively bounds the texture max within
-    ``dilate_km`` of it (latitude-aware in longitude, wrapping)."""
+    ``dilate_km`` of it (latitude-aware in longitude, wrapping).
+
+    Pass ``valid_km`` instead to derive the dilation from the actual cell
+    size: validity + ~one cell per axis (the dilation is axis-separable, so
+    covering the L-infinity ball of radius valid+cell covers the Euclidean
+    validity ball for a tap anywhere inside its cell)."""
     h, w = img.shape[:2]
     mip_h = min(mip_h, h)  # tiny (test-size) maps: one cell per texel at most
     mip_w = min(mip_w, w)
+    if dilate_km is None:
+        cell_km = np.pi * shell_r / mip_h / 1e3
+        dilate_km = valid_km + 1.05 * cell_km
     c = img if img.ndim == 2 else img[..., 0]
     c = c.astype(np.float32) / (255.0 if img.dtype == np.uint8 else 1.0)
     ph = -h % mip_h
@@ -147,7 +163,7 @@ def build_max_mip(
 
 
 def build_cloud_mip(clouds: np.ndarray) -> np.ndarray:
-    return build_max_mip(clouds, MIP_COARSE_DILATE_KM)
+    return build_max_mip(clouds, valid_km=MIP_COARSE_VALID_KM)
 
 
 def _resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -173,32 +189,49 @@ def build_atlas(arrays: dict) -> TextureAtlas:
         ],
         axis=-1,
     )
-    def with_mips(img):
-        """(H, W, 4) uint8: [map, fine max-mip, coarse max-mip, 0], each mip
-        upsampled to full resolution and ceil-quantized so it stays a
-        conservative upper bound. (A packed-u32 element-gather layout was
-        measured 45% slower end-to-end than this row-gather layout.)"""
+    def with_mips(img, fine_valid_km, extra_valid_km):
+        """(H, W, 4) uint8: [map, fine max-mip, coarse max-mip, extra
+        max-mip], each mip upsampled to full resolution and ceil-quantized
+        so it stays a conservative upper bound. (A packed-u32 element-gather
+        layout was measured 45% slower end-to-end than this row-gather
+        layout.)
+
+        Channel 3 carries a second fine-scale bound at ``extra_valid_km``:
+        clouds pair a TIGHT majorant/budget bound (ch 1) with a WIDE
+        skip-certification bound (ch 3) so clear-sky lanes stride far while
+        tracking budgets stay tight; topography pairs its wide march bound
+        (ch 1) with a tight bound (ch 3) for the march-on-demand free ball
+        near terrain."""
         if img.ndim == 3:
             img = img[..., 0]
         ih, iw = img.shape
 
-        def mip_channel(mip_h, dilate_km):
+        def mip_channel(mip_h, valid_km):
             mip = build_max_mip(
-                img, dilate_km, mip_h=mip_h, mip_w=2 * mip_h
+                img, mip_h=mip_h, mip_w=2 * mip_h, valid_km=valid_km
             )
             return _resize_nearest(
                 (mip * 255.0 + 0.999).clip(0, 255).astype(np.uint8), ih, iw
             )
 
-        fine = mip_channel(MIP_FINE_H, MIP_FINE_DILATE_KM)
-        coarse = mip_channel(MIP_COARSE_H, MIP_COARSE_DILATE_KM)
-        zero = np.zeros_like(img)
-        return np.stack([img, fine, coarse, zero], axis=-1)
+        fine = mip_channel(MIP_FINE_H, fine_valid_km)
+        coarse = mip_channel(MIP_COARSE_H, MIP_COARSE_VALID_KM)
+        extra = mip_channel(MIP_FINE_H, extra_valid_km)
+        return np.stack([img, fine, coarse, extra], axis=-1)
 
     return TextureAtlas(
         material=Tex2D.from_array(mat),
-        topography=Tex2D.from_array(with_mips(arrays["topography"])),
-        clouds=Tex2D.from_array(with_mips(arrays["clouds"])),
+        topography=Tex2D.from_array(
+            with_mips(
+                arrays["topography"], MIP_FINE_VALID_KM,
+                MIP_CLOUD_FINE_VALID_KM,
+            )
+        ),
+        clouds=Tex2D.from_array(
+            with_mips(
+                arrays["clouds"], MIP_CLOUD_FINE_VALID_KM, MIP_FINE_VALID_KM
+            )
+        ),
         stars=Tex2D.from_array(arrays["stars"][..., :3]),
     )
 

@@ -234,17 +234,57 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
 # ---------------------------------------------------------------------------
 
 
+_CLOUD_SPLIT = 0.2  # split-shape anchor height fraction (reference :59)
+
+
 def _cloud_shape_density(cloud_texture, r):
     """Cloud density from the column-height sample and radius
     (reference pathtracer.py:48-65): split-shape slab occupancy."""
     in_slab = (r > C.CLOUDS_LOWER_LIMIT) & (r < C.CLOUDS_UPPER_LIMIT)
     h = (r - C.CLOUDS_LOWER_LIMIT) / C.CLOUDS_THICKNESS
-    split = 0.2
+    split = _CLOUD_SPLIT
     shape_on = (h - split < cloud_texture * (1.0 - split)) & (
         split - h < cloud_texture * split
     )
     density = jnp.where(in_slab & shape_on, jnp.maximum(cloud_texture, 0.4), 0.0)
     return density * C.CLOUDS_DENSITY
+
+
+def _cloud_band_radii(mip):
+    """Occupied radial band [r_lo, r_hi] implied by a regional max column
+    height ``mip``: the split shape is on only for height fractions
+    h in (split*(1-tex), split + tex*(1-split)), so the regional max bounds
+    the band. Everything radially outside it is certified empty within the
+    mip's validity radius — the lever that lets grazing sun chords skip the
+    2D-cloudy-but-radially-empty airspace they otherwise Woodcock-crawl."""
+    lo = C.CLOUDS_LOWER_LIMIT + C.CLOUDS_THICKNESS * _CLOUD_SPLIT * (1.0 - mip)
+    hi = C.CLOUDS_LOWER_LIMIT + C.CLOUDS_THICKNESS * (
+        _CLOUD_SPLIT + mip * (1.0 - _CLOUD_SPLIT)
+    )
+    return lo, hi
+
+
+def _band_entry_dist(pos, direction, r, lo, hi):
+    """Distance along the ray before the radius enters [lo, hi] (0 if the
+    radius is already inside, +inf when it never will).
+
+    Classification carries a few meters of margin: at planet radius f32
+    resolves ~0.5 m, so a lane sitting ON a boundary sphere can read as
+    outside while the rsi root collapses to <=0 noise — without the margin
+    that combination certified a bogus full-validity jump THROUGH the band
+    (caught by the tracking-equivalence tests). Boundary-zone lanes count
+    as inside (entry 0 — never skip), and a "below" lane whose far root is
+    non-positive enters immediately (inside the lo sphere the exit root is
+    genuinely positive; <=0 is boundary noise)."""
+    big = jnp.float32(3e7)
+    eps = 4.0
+    above = r > hi + eps
+    below = r < lo - eps
+    hi_near, _ = mu.rsi(pos, direction, hi)
+    _, lo_far = mu.rsi(pos, direction, lo)
+    t_above = jnp.where(hi_near > 0.0, hi_near, big)
+    t_below = jnp.maximum(lo_far, 0.0)
+    return jnp.where(above, t_above, jnp.where(below, t_below, 0.0))
 
 
 def get_clouds_density(clouds_tex, pos, bilinear=True):
@@ -435,8 +475,18 @@ def _ratio_track_rmo(
 # bounds the density within the corresponding validity radius. Tracking stays
 # within the fine mip's validity of the last tap; certified-empty space is
 # skipped at the fine stride near clouds and the coarse stride in clear sky.
-_CLOUD_VALID = 25e3  # fine-mip validity: tracking/fine-skip certification
-_CLOUD_SKIP_FINE = 20e3
+# Three-level skip/track ladder over the cloud texture's three mip bounds
+# (assets/textures.with_mips): ch 1 = TIGHT fine bound (8 km validity —
+# Woodcock majorant + tracking budget; its small build dilation keeps the
+# fake-cloudy margin sun chords crawl through to ~1 mip cell), ch 3 = WIDE
+# fine bound (25 km validity — 20 km certified strides across the gaps of
+# broken cloud fields, where the 156 km-cell coarse mip is never clear),
+# ch 2 = coarse bound (100 km strides over genuinely clear oceans of sky).
+_CLOUD_VALID = 8e3  # tight-mip validity: tracking/fine-skip certification
+_CLOUD_VALID_WIDE = 25e3
+_CLOUD_VALID_COARSE = 115e3
+_CLOUD_SKIP_FINE = 6e3
+_CLOUD_SKIP_WIDE = 20e3  # < 25 km wide-mip validity
 _CLOUD_SKIP_COARSE = 100e3  # < 115 km coarse-mip validity
 
 
@@ -510,17 +560,23 @@ def _track_cloud(
         pos = ray_pos[None] + ts_c[..., None] * ray_dir[None]
         sample = tx.sample_sphere_texture(
             clouds_tex, pos, bilinear=cfg.bilinear_tracking
-        )  # (k, n, 4): column height, fine mip, coarse mip, 0
+        )  # (k, n, 4): column height, tight mip, coarse mip, wide mip
         fine_ext = ext_w[None, :] * _cloud_shape_density(
             sample[..., 0], mu.length(pos)
         )
         mip_f = sample[..., 1]
         mip_c = sample[..., 2]
+        mip_w_ = sample[..., 3]
 
         # --- skip branch: jump to the first occupied probe at the lane's
-        # skip level (coarse-striding lanes test the coarse mip)
-        is_coarse = stride > _CLOUD_SKIP_FINE * 1.5
-        probe_occ = jnp.where(is_coarse[None, :], mip_c > 0.0, mip_f > 0.0)
+        # skip level; each stride level tests its own certification bound
+        lvl_coarse = stride > _CLOUD_SKIP_WIDE * 1.5
+        lvl_wide = (~lvl_coarse) & (stride > _CLOUD_SKIP_FINE * 1.5)
+        probe_occ = jnp.where(
+            lvl_coarse[None, :],
+            mip_c > 0.0,
+            jnp.where(lvl_wide[None, :], mip_w_ > 0.0, mip_f > 0.0),
+        )
         skip_stop = probe_occ | crossed
         skip_any = jnp.any(skip_stop, axis=0)
         skip_first = jnp.argmax(skip_stop, axis=0)
@@ -533,6 +589,9 @@ def _track_cloud(
         )
         skip_mip_c = jnp.where(
             skip_any, jnp.sum(mip_c * pickf, axis=0), mip_c[-1]
+        )
+        skip_mip_w = jnp.where(
+            skip_any, jnp.sum(mip_w_ * pickf, axis=0), mip_w_[-1]
         )
 
         # --- tracking branch: first real collision or budget crossing
@@ -549,6 +608,7 @@ def _track_cloud(
             # refresh the majorant from the tap at the stopping/last position
             wood_mip_f = jnp.where(any_stop, psel(mip_f), mip_f[-1])
             wood_mip_c = jnp.where(any_stop, psel(mip_c), mip_c[-1])
+            wood_mip_w = jnp.where(any_stop, psel(mip_w_), mip_w_[-1])
         else:
             # ratio mode: every in-budget probe contributes a factor; advance
             # past all of them (to the budget boundary if it was crossed)
@@ -565,6 +625,9 @@ def _track_cloud(
             wood_mip_c = jnp.where(
                 any_crossed, jnp.sum(mip_c * pick_c, axis=0), mip_c[-1]
             )
+            wood_mip_w = jnp.where(
+                any_crossed, jnp.sum(mip_w_ * pick_c, axis=0), mip_w_[-1]
+            )
             factors = jnp.where(crossed, 1.0, 1.0 - ratio)
             block = jnp.prod(factors, axis=0)
 
@@ -574,11 +637,18 @@ def _track_cloud(
         t_new = jnp.where(skip_lane, skip_t, jnp.where(step_lane, wood_t, t))
         new_mip_f = jnp.where(skip_lane, skip_mip_f, wood_mip_f)
         new_mip_c = jnp.where(skip_lane, skip_mip_c, wood_mip_c)
+        new_mip_w = jnp.where(skip_lane, skip_mip_w, wood_mip_w)
         moved = skip_lane | step_lane
         sig_new = jnp.where(moved, majorant(new_mip_f), sig_loc)
         stride_new = jnp.where(
             moved,
-            jnp.where(new_mip_c > 0.0, _CLOUD_SKIP_FINE, _CLOUD_SKIP_COARSE),
+            jnp.where(
+                new_mip_c <= 0.0,
+                _CLOUD_SKIP_COARSE,
+                jnp.where(
+                    new_mip_w <= 0.0, _CLOUD_SKIP_WIDE, _CLOUD_SKIP_FINE
+                ),
+            ),
             stride,
         )
         t_fetch_new = jnp.where(moved, t_new, t_fetch)
@@ -592,7 +662,52 @@ def _track_cloud(
             done = done | hit
         else:
             trans = jnp.where(step_lane, trans * block, trans)
-            done = done | (trans < 1e-5)
+            # transmittance Russian roulette: once the packet max drops
+            # under 0.05, continue with p = trans/0.05 and reweight (exactly
+            # unbiased). Deeply-occluded sun chords — the dominant NEE cost
+            # at grazing sun, where the slab chord is hundreds of km —
+            # terminate in ~1 extra iteration instead of grinding the
+            # product down to a fixed cutoff. (u[2] is unused in ratio
+            # mode, so probe row 0 supplies the RR draw.)
+            t_rr = 0.05
+            p_cont = jnp.clip(trans / t_rr, 0.0, 1.0)
+            rr_active = step_lane & (p_cont < 1.0)
+            killed = rr_active & (u[2, 0] >= p_cont)
+            boosted = rr_active & ~killed
+            trans = jnp.where(
+                killed, 0.0, trans / jnp.where(boosted, p_cont, 1.0)
+            )
+            done = done | killed | (trans < 1e-5)
+
+        # --- analytic radial-band skip from the stop tap. The mips are 2D
+        # (lat/lon) but the split shape is radial: a grazing chord through
+        # "2D-cloudy" airspace whose radius stays outside the occupied band
+        # would otherwise Woodcock-crawl it at ~350 m majorant steps (the
+        # measured worst-lane tail: ~250 loop iterations). Each bound
+        # channel certifies emptiness outside its band within its validity;
+        # jump by the best of the three. Applies only where t_new sits AT
+        # the certifying tap (skip lanes that found no occupied probe have
+        # already advanced a stride past their last tap).
+        at_tap = (~skip_lane) | skip_any
+        jmask = (~done) & moved & at_tap
+        pos_stop = ray_pos + t_new[:, None] * ray_dir
+        r_stop = mu.length(pos_stop)
+        jump = jnp.zeros((n,))
+        for mip_ch, valid_ch in (
+            (new_mip_f, _CLOUD_VALID),
+            (new_mip_w, _CLOUD_VALID_WIDE),
+            (new_mip_c, _CLOUD_VALID_COARSE),
+        ):
+            lo, hi = _cloud_band_radii(mip_ch)
+            t_ent = _band_entry_dist(pos_stop, ray_dir, r_stop, lo, hi)
+            jump = jnp.maximum(jump, jnp.minimum(t_ent, valid_ch))
+        jump = jnp.where(jmask, jump, 0.0)
+        t_new = t_new + jump
+        jumped = jump > 0.0
+        # a jumped lane lands uncertified: drop to skip mode so the next
+        # iteration's probe 0 re-certifies from the landing point
+        sig_new = jnp.where(jumped, 0.0, sig_new)
+        t_fetch_new = jnp.where(jumped, t_new, t_fetch_new)
 
         done = done | (t_new >= t_max)
         return i + 1, key, t_new, done, t_fetch_new, sig_new, stride_new, event, trans
@@ -961,13 +1076,21 @@ def run_bounces(
             )
             r_len = mu.length(pos)
             d_free = jnp.maximum(
-                jnp.minimum(
-                    _MIP_VALID_FINE,
-                    r_len - (C.PLANET_R + scale * tap[..., 1]),
+                jnp.maximum(
+                    jnp.minimum(
+                        _MIP_VALID_FINE,
+                        r_len - (C.PLANET_R + scale * tap[..., 1]),
+                    ),
+                    jnp.minimum(
+                        _MIP_VALID_COARSE,
+                        r_len - (C.PLANET_R + scale * tap[..., 2]),
+                    ),
                 ),
+                # channel 3 = tight 8 km bound: its small dilation gives the
+                # least-inflated terrain radius for low bounces in valleys
                 jnp.minimum(
-                    _MIP_VALID_COARSE,
-                    r_len - (C.PLANET_R + scale * tap[..., 2]),
+                    _CLOUD_VALID,
+                    r_len - (C.PLANET_R + scale * tap[..., 3]),
                 ),
             )
             base_near, _ = mu.rsi(pos, direction, C.PLANET_R)
