@@ -204,9 +204,19 @@ def _render_step(
 
                 def stage_tile(args):
                     i, sub = args
-                    return pt.run_bounces(
-                        jax.random.fold_in(bkey, i), sub, scene, atlas,
-                        luts, cfg, b0, b1,
+
+                    def live(_):
+                        return pt.run_bounces(
+                            jax.random.fold_in(bkey, i), sub, scene, atlas,
+                            luts, cfg, b0, b1,
+                        )
+
+                    # compaction packs alive lanes into a tile prefix, so
+                    # late stages sweep mostly-dead tiles; the cond skips
+                    # their per-tile pre-loop setup (spectral constants,
+                    # extinction stacks), not just the bounce loop
+                    return jax.lax.cond(
+                        jnp.any(sub.alive), live, lambda _: sub, None
                     )
 
                 sub_states = jax.tree_util.tree_map(
