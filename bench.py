@@ -38,6 +38,9 @@ def main():
 
     from digital_earth_tpu.assets.textures import load_texture_atlas
     from digital_earth_tpu.render.renderer import Renderer
+    from digital_earth_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     atlas = load_texture_atlas(
         procedural_resolution=(args.texture_res, 2 * args.texture_res)

@@ -112,6 +112,9 @@ class EarthViewer:
         browser behind a multi-second path-traced spp; once input goes
         idle, frames escalate to the path tracer. 0 disables (reference
         behavior: every frame is path-traced)."""
+        from ..utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         if renderer is None:
             from ..render.renderer import Renderer
 
@@ -149,8 +152,9 @@ class EarthViewer:
         self._frame_source = "preview" if preview_scale else "path"
         self._frame_time = 0.0
         self._scene_dirty = True
-        self._last_frame = None
-        self._frame_stamp = 0
+        # (frame, stamp) assigned as one tuple so readers on other threads
+        # can never pair a new stamp with the previous frame (ADVICE r2)
+        self._frame_snap = (None, 0)
         self._png_cache = None
         self._png_stamp = -1
         self.camera.push_to(self.renderer)
@@ -203,18 +207,18 @@ class EarthViewer:
                 (self.renderer.image_res[0], self.renderer.image_res[1]),
                 Image.BILINEAR,
             )
-            self._last_frame = np.asarray(pil)
+            frame = np.asarray(pil)
         else:
-            self._last_frame = self.renderer.fetch_image_np()
-        self._frame_stamp += 1
+            frame = self.renderer.fetch_image_np()
+        self._frame_snap = (frame, self._frame_snap[1] + 1)
 
     def _frame_png(self) -> bytes:
         from PIL import Image
 
-        if self._last_frame is None:
+        if self._frame_snap[0] is None:
             with self._render_lock:
                 self._snapshot_frame()
-        frame, stamp = self._last_frame, self._frame_stamp
+        frame, stamp = self._frame_snap  # single atomic tuple read
         if self._png_cache is None or self._png_stamp != stamp:
             buf = io.BytesIO()
             # compress_level=1: ~10x faster than PIL's default at 1080p
@@ -257,7 +261,9 @@ class EarthViewer:
         if "exposure" in q:
             r.set_exposure(float(q["exposure"][0]))
         if "crf" in q:
-            r.set_crf(int(q["crf"][0]))
+            # clamp: an out-of-range index would make every later /state
+            # raise IndexError on the crf-name lookup
+            r.set_crf(max(0, min(int(q["crf"][0]), len(r.crf_names) - 1)))
         if "gamma" in q:
             r.set_gamma(float(q["gamma"][0]))
         return reset
@@ -313,8 +319,12 @@ class EarthViewer:
                     self._sync(self.preview_renderer.color_buffer)
                     self._frame_source = "preview"
                     self._snapshot_frame()
-                    self._frame_time = time.time() - t0
                     elapsed = max(time.time() - t0, 1e-4)
+                    self._frame_time = elapsed
+                    # report preview throughput too (the preview renderer's
+                    # own pixel count), not the last idle-frame value
+                    pw, ph = self.preview_renderer.image_res
+                    self._paths_per_sec = pw * ph / elapsed
                     continue
                 for _ in range(spp_per_frame):
                     self.renderer.accumulate()

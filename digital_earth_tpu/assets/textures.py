@@ -132,8 +132,13 @@ def build_max_mip(
     mip_h = min(mip_h, h)  # tiny (test-size) maps: one cell per texel at most
     mip_w = min(mip_w, w)
     if dilate_km is None:
-        cell_km = np.pi * shell_r / mip_h / 1e3
-        dilate_km = valid_km + 1.05 * cell_km
+        # per-axis tap-offset margin: one cell on whichever axis is coarser
+        # (for maps narrower than 2:1, equatorial longitude cells are wider
+        # than latitude cells, and the latitude cell alone would be a
+        # non-conservative bound — ADVICE r2)
+        cell_h_km = np.pi * shell_r / mip_h / 1e3
+        cell_w_km = 2 * np.pi * shell_r / mip_w / 1e3
+        dilate_km = valid_km + 1.05 * max(cell_h_km, cell_w_km)
     c = img if img.ndim == 2 else img[..., 0]
     c = c.astype(np.float32) / (255.0 if img.dtype == np.uint8 else 1.0)
     ph = -h % mip_h

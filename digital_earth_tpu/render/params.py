@@ -82,6 +82,13 @@ class TraceConfig:
     # zero variance, no tracking loop. False falls back to ratio tracking
     # (the reference's estimator, pathtracer.py:117-143) for validation.
     analytic_transmittance: bool = True
+    # RMO free-flight events by exact CDF inversion on the same table
+    # (fixed-count Newton/bisection, no per-step RNG, no worst-lane
+    # divergence) instead of delta tracking. Distribution-identical to the
+    # reference's delta tracker up to tabulation error; False falls back to
+    # the local-majorant delta tracker for validation.
+    analytic_flight: bool = True
+    flight_newton_iters: int = 14
     # Reference-faithful mode: one-step global-majorant trackers and the
     # plain sphere march (render/tracking_naive.py) instead of the
     # accelerated implementations. Slower; for parity checks and debugging.

@@ -289,8 +289,9 @@ def _band_entry_dist(pos, direction, r, lo, hi):
 
 def get_clouds_density(clouds_tex, pos, bilinear=True):
     """Cloud slab density at a position (reference pathtracer.py:48-65).
-    ``clouds_tex`` is the 2-channel (map, majorant-mip) texture; channel 0 is
-    the column-height map."""
+    ``clouds_tex`` is the 4-channel (map, tight mip, coarse mip, wide mip)
+    texture (assets/textures.with_mips); channel 0 is the column-height
+    map."""
     sample = tx.sample_sphere_texture(clouds_tex, pos, bilinear=bilinear)
     return _cloud_shape_density(sample[..., 0], mu.length(pos))
 
@@ -396,6 +397,43 @@ def _delta_track_rmo(
         jnp.zeros((n,), dtype=jnp.int32),
     )
     _, _, t, _, event, iid = jax.lax.while_loop(cond, body, init)
+    return event, t, iid
+
+
+def _sample_rmo_flight_analytic(
+    key, ray_pos, ray_dir, t_start, t_max, ext_rmo, active, cfg: TraceConfig
+):
+    """RMO free-flight event by exact CDF inversion
+    (atmosphere_lut.sample_flight_distance) — distribution-identical to
+    delta tracking (reference pathtracer.py:77-115) but with a fixed
+    iteration count and no per-step RNG. Species selection by the local
+    extinction CMF (reference pathtracer.py:102-106) and albedo Russian
+    roulette (reference pathtracer.py:108-111) are unchanged.
+
+    Returns (event, t, interaction_id) like _delta_track_rmo."""
+    n = ray_pos.shape[0]
+    ext_h = ext_rmo[:, 0, :]
+    u = jax.random.uniform(key, (3, n))
+    t, collided, _ = atm.sample_flight_distance(
+        u[0], ray_pos, ray_dir, t_start, t_max, ext_h,
+        n_iter=cfg.flight_newton_iters,
+    )
+    collided = collided & active
+    h = vol.get_elevation(ray_pos + t[:, None] * ray_dir)
+    ext_stop = vol.get_density(h) * ext_h  # (n, 3)
+    c0 = ext_stop[:, 0]
+    c01 = c0 + ext_stop[:, 1]
+    r = u[1] * jnp.maximum(c01 + ext_stop[:, 2], 1e-30)
+    iid = jnp.where(
+        r < c0, C.RAYLEIGH_ID, jnp.where(r < c01, C.MIE_ID, C.OZONE_ID)
+    )
+    scatters = u[2] < _ALBEDOS[iid]
+    event = jnp.where(
+        collided,
+        jnp.where(scatters, SCATTER_EVENT, ABSORB_EVENT),
+        NULL_EVENT,
+    )
+    iid = jnp.where(collided, iid, 0)
     return event, t, iid
 
 
@@ -817,10 +855,15 @@ def sample_interaction(
     else:
         rmo_cap = t_max
 
-    rmo_event, rmo_t, rmo_id = _delta_track_rmo(
-        k_rmo, ray_pos, ray_dir, t_start, rmo_cap, ext_rmo, max_ext_rmo,
-        active, cfg,
-    )
+    if cfg.analytic_flight:
+        rmo_event, rmo_t, rmo_id = _sample_rmo_flight_analytic(
+            k_rmo, ray_pos, ray_dir, t_start, rmo_cap, ext_rmo, active, cfg
+        )
+    else:
+        rmo_event, rmo_t, rmo_id = _delta_track_rmo(
+            k_rmo, ray_pos, ray_dir, t_start, rmo_cap, ext_rmo, max_ext_rmo,
+            active, cfg,
+        )
     if not cfg.enable_clouds:
         return rmo_event, rmo_t, rmo_id
 

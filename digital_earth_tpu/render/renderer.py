@@ -133,10 +133,14 @@ def _render_step(
     nbx, nby = w // bw, h // bh
     n_tiles = nbx * nby
     stages = _stage_bounds(cfg)
+    # disjoint key domains for per-tile and per-stage streams: folding both
+    # from one key risks a tile index colliding with a stage constant at
+    # very large frames (ADVICE r2), so split once instead
+    tile_key, stage_key = jax.random.split(key)
 
     def render_tile(tile_idx):
         """Ray gen + spectral sampling + stage-1 bounces (+ miss shading)."""
-        tkey = jax.random.fold_in(key, tile_idx)
+        tkey = jax.random.fold_in(tile_key, tile_idx)
         k_jit_u, k_jit_v, k_wl, k_tr = jax.random.split(tkey, 4)
         bx = tile_idx // nby
         by = tile_idx % nby
@@ -187,7 +191,7 @@ def _render_step(
             width = cfg.compact_every
             ctile = cfg.compact_tile if n % cfg.compact_tile == 0 else tile
             n_ctiles = n // ctile
-            skey = jax.random.fold_in(key, 0x5A5A5)
+            skey = stage_key
 
             def stage_cond(carry):
                 b0 = carry[0]

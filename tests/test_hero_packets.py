@@ -77,17 +77,18 @@ class TestHeroPackets:
         assert (np.abs(z) < 4.0).all(), (a.mean(0), b.mean(0), z)
 
     def test_packet_reduces_variance(self, scene):
-        # average the variance estimate over seeds: a single 2048-lane
-        # variance of a heavy-tailed estimator is itself noisy enough to
-        # flip a fixed 20% threshold on an RNG-stream change
+        """Packets collapse *chroma* noise (the 4 wavelengths integrate the
+        spectrum along one shared geometric path), while luminance noise is
+        path-dominated and barely moves. Assert the robust signal — X-Y
+        chroma-residual variance, measured ~30x lower for L=4 — with
+        medians over seeds (single-seed variances of a heavy-tailed
+        estimator flip fixed thresholds on any RNG-stream change)."""
         n = 2048
-        v1 = float(np.mean([
-            _trace_mean_xyz(scene, 1, n, jax.random.PRNGKey(4 + s))[:, 1].var()
-            for s in range(3)
-        ]))
-        v4 = float(np.mean([
-            _trace_mean_xyz(scene, 4, n, jax.random.PRNGKey(24 + s))[:, 1].var()
-            for s in range(3)
-        ]))
-        # per-sample variance of the luminance channel should drop materially
-        assert v4 < v1 * 0.8, (v1, v4)
+
+        def chroma_var(L, s):
+            xyz = _trace_mean_xyz(scene, L, n, jax.random.PRNGKey(100 * L + s))
+            return (xyz[:, 0] - xyz[:, 1]).var()
+
+        c1 = float(np.median([chroma_var(1, s) for s in range(4)]))
+        c4 = float(np.median([chroma_var(4, s) for s in range(4)]))
+        assert c4 < c1 * 0.3, (c1, c4)

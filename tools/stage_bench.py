@@ -27,6 +27,9 @@ def main():
     from digital_earth_tpu.assets.textures import load_texture_atlas
     from digital_earth_tpu.render.params import TraceConfig
     from digital_earth_tpu.render.renderer import Renderer
+    from digital_earth_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     atlas = load_texture_atlas(
         procedural_resolution=(args.texture_res, 2 * args.texture_res)
@@ -40,9 +43,14 @@ def main():
         "L1": {"hero_lambdas": 1},
         "k8": {"tracking_k": 8},
         "k2": {"tracking_k": 2},
+        "bounce1": {"max_bounces": 1},
+        "bounce2": {"max_bounces": 2},
         "bounce4": {"max_bounces": 4},
+        "bounce8": {"max_bounces": 8},
+        "bounce12": {"max_bounces": 12},
         "march125": {"land_march_steps": 125},
         "analytic_off": {"analytic_transmittance": False},
+        "eager_march": {"lazy_march": False},
     }
 
     for name in args.variants.split(","):
