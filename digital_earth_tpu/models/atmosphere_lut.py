@@ -34,6 +34,7 @@ tests/test_atmosphere_lut.py.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax
@@ -102,11 +103,12 @@ def atmos_density_table():
     on each row's uniform x-grid over [x_lo(i), x_hi(i)].
 
     Built once by fine trapezoid quadrature (_BUILD_SUBSTEPS per cell) of the
-    closed-form density profiles (models/volume.py:303-348). The first call
-    may come from inside a jit trace, so the numeric build is forced eager.
+    closed-form density profiles (models/volume.py:303-348); numpy-only and
+    disk-cached (~/.cache/digital_earth_tpu), so a jit trace embedding it
+    pays an np.load, not a rebuild.
     """
     with jax.ensure_compile_time_eval():
-        return _build_table()
+        return jnp.asarray(_build_table())
 
 
 @lru_cache(maxsize=1)
@@ -119,7 +121,7 @@ def _table_tex() -> Tex2D:
     with jax.ensure_compile_time_eval():
         # f32 storage: the builder's f64 is for accumulation accuracy only;
         # f64 rows would double-to-octuple every row-gather's bytes
-        return Tex2D.from_array(np.asarray(_build_table(), dtype=np.float32))
+        return Tex2D.from_array(_build_table())
 
 
 @lru_cache(maxsize=1)
@@ -128,14 +130,53 @@ def _row_totals():
     query's endpoint, fetched from a tiny dedicated table instead of the
     wide one."""
     with jax.ensure_compile_time_eval():
-        return Tex2D.from_array(
-            np.asarray(_build_table()[:, -1:, :], dtype=np.float32)
-        )
+        return Tex2D.from_array(_build_table()[:, -1:, :])
 
 
+def _np_densities(h):
+    """Numpy (f64) twins of the closed-form density profiles
+    (models/volume.get_*_density) for the offline table build: evaluating
+    the jnp originals op-by-op under ensure_compile_time_eval cost ~20 s of
+    eager mini-compiles per build — 60 s of every 90 s render-step trace."""
+    rayl = 3.68082 * np.exp(-((h + 24239.99) ** 2) / 532307548.4168) / 1.225
+    d_high = 0.0918 * np.exp(-1.0e-6 * (h - 11500.0) ** 2)
+    d_mid = 0.3000 * np.exp(-2.5e-9 * (h + 2500.0) ** 2) - 0.092
+    d_low = 0.6500 * np.exp(-5.0e-6 * (h - 1300.0) ** 2) + 0.18899
+    d_ground = 1.0 - h / 8136.646
+    mie = np.where(
+        h > 11500.0,
+        d_high,
+        np.where(h > 2400.0, d_mid, np.where(h > 1300.0, d_low, d_ground)),
+    ) * float(C.TURBIDITY)
+    h_km = h * 0.001
+    rel2 = (h_km - float(C.OZONE_PEAK_HEIGHT) * 0.001) ** 2
+    o3 = (
+        (1.0 - 0.375) * np.exp(-rel2 / 49.0)
+        + 0.375 * np.exp(-rel2 / 256.0)
+        + np.maximum(0.0, -0.000015 * (h_km - 15.0) ** 3)
+    )
+    return rayl, mie, o3
+
+
+# bump when the table geometry or the density profiles change
+_TABLE_CACHE_TAG = (
+    f"v2-{N_RP}x{N_X}s{_BUILD_SUBSTEPS}-d{_N_DEEP}-"
+    f"{R_LO:.0f}-{R_TOP:.0f}-t{float(C.TURBIDITY):g}"
+)
+
+
+@lru_cache(maxsize=1)
 def _build_table():
+    cache_dir = os.path.join(
+        os.path.expanduser("~"), ".cache", "digital_earth_tpu"
+    )
+    cache_path = os.path.join(cache_dir, f"atmos_table_{_TABLE_CACHE_TAG}.npy")
+    if os.path.exists(cache_path):
+        return np.load(cache_path)
     i = np.arange(N_RP, dtype=np.float64)
-    rp = np.asarray(_index_to_rp(i), dtype=np.float64)
+    shell = R_LO + (i - _N_DEEP) / (N_RP - 1 - _N_DEEP) * (R_TOP - R_LO)
+    t = (_N_DEEP - i) / _N_DEEP
+    rp = np.where(i < _N_DEEP, R_LO - _D_MIN * np.exp(t * _LOG_RATIO), shell)
     x_lo = np.sqrt(np.maximum(R_LO * R_LO - rp * rp, 0.0))
     x_hi = np.sqrt(np.maximum(R_TOP * R_TOP - rp * rp, 0.0))
     n_fine = (N_X - 1) * _BUILD_SUBSTEPS + 1
@@ -143,21 +184,24 @@ def _build_table():
     xs = x_lo[:, None] + (x_hi - x_lo)[:, None] * frac[None, :]  # (N_RP, n_fine)
     r = np.sqrt(rp[:, None] ** 2 + xs**2)
     h = np.maximum(r - C.PLANET_R, 0.0)
-    rho = np.stack(
-        [
-            np.asarray(vol.get_rayl_density(h)),
-            np.asarray(vol.get_mie_density(h)),
-            np.asarray(vol.get_ozone_density(h)),
-        ],
-        axis=-1,
-    ).astype(np.float64)  # (N_RP, n_fine, 3)
+    rho = np.stack(_np_densities(h), axis=-1)  # (N_RP, n_fine, 3) f64
     dx = ((x_hi - x_lo) / (n_fine - 1))[:, None, None]
     cells = 0.5 * (rho[:, 1:] + rho[:, :-1]) * dx
     f_fine = np.concatenate(
         [np.zeros((N_RP, 1, 3)), np.cumsum(cells, axis=1)], axis=1
     )
-    table = f_fine[:, ::_BUILD_SUBSTEPS].astype(np.float32)  # (N_RP, N_X, 3)
-    return jnp.asarray(table)
+    table = np.ascontiguousarray(
+        f_fine[:, ::_BUILD_SUBSTEPS].astype(np.float32)
+    )  # (N_RP, N_X, 3)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = cache_path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.save(f, table)
+        os.replace(tmp, cache_path)
+    except OSError:
+        pass  # cache is best-effort
+    return table
 
 
 def _f_eval(table, rp, x_abs):

@@ -85,9 +85,11 @@ class TraceConfig:
     # RMO free-flight events by exact CDF inversion on the same table
     # (fixed-count Newton/bisection, no per-step RNG, no worst-lane
     # divergence) instead of delta tracking. Distribution-identical to the
-    # reference's delta tracker up to tabulation error; False falls back to
-    # the local-majorant delta tracker for validation.
-    analytic_flight: bool = True
+    # reference's delta tracker up to tabulation error. Default OFF: measured
+    # ~8% slower per 1080p Apollo spp than the local-majorant delta tracker
+    # (the fixed 14-iteration inversion out-costs the tracker's typical 2-4
+    # local-majorant rounds; see docs/PERFORMANCE.md round-3 notes).
+    analytic_flight: bool = False
     flight_newton_iters: int = 14
     # Reference-faithful mode: one-step global-majorant trackers and the
     # plain sphere march (render/tracking_naive.py) instead of the

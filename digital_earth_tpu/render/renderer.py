@@ -315,6 +315,7 @@ class Renderer:
         self.color_buffer = jnp.zeros(
             (image_res[0], image_res[1], 3), dtype=jnp.float32
         )
+        self._step = None  # resolved on first accumulate (AOT trace cache)
 
     # --- setters (reference renderer.py:224-266) -------------------------
     def set_camera_pos(self, x, y, z):
@@ -374,11 +375,36 @@ class Renderer:
     def accumulate(self):
         """Trace one sample per pixel into the accumulation buffer."""
         key = jax.random.fold_in(self._base_key, self.current_spp)
-        self.color_buffer = _render_step(
+        if self._step is None:
+            self._step = self._resolve_step(key)
+        self.color_buffer = self._step(
             key, self.color_buffer, self._camera_params(), self._scene_params(),
-            self.atlas, self.luts, self.image_res, self.block, self.cfg, self.mode,
+            self.atlas, self.luts,
         )
         self.current_spp += 1
+
+    def _resolve_step(self, key):
+        """Bind the static render-step arguments and route through the AOT
+        trace cache (utils/cache.aot_cached): a warm process deserializes the
+        exported StableHLO instead of re-tracing the ~90 s 1080p graph."""
+        from ..utils.cache import aot_cached
+
+        statics = dict(
+            image_res=self.image_res, block=self.block, cfg=self.cfg,
+            mode=self.mode,
+        )
+
+        def bound_step(key, color_buffer, cam, scene, atlas, luts):
+            return _render_step(key, color_buffer, cam, scene, atlas, luts,
+                                **statics)
+
+        example = (
+            key, self.color_buffer, self._camera_params(),
+            self._scene_params(), self.atlas, self.luts,
+        )
+        return aot_cached(
+            "render_step", jax.jit(bound_step), example, repr(statics)
+        )
 
     def fetch_image(self):
         """Post-process the accumulation buffer; returns (W, H, 3) float sRGB."""

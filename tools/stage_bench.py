@@ -51,6 +51,10 @@ def main():
         "march125": {"land_march_steps": 125},
         "analytic_off": {"analytic_transmittance": False},
         "eager_march": {"lazy_march": False},
+        "flight_off": {"analytic_flight": False},
+        "newton6": {"flight_newton_iters": 6},
+        "newton8": {"flight_newton_iters": 8},
+        "newton10": {"flight_newton_iters": 10},
     }
 
     for name in args.variants.split(","):
