@@ -111,15 +111,29 @@ class TraceConfig:
     # regroup NEE work (and as documentation of the negative result).
     nee_rr_start: int = C.MULTISCATTER_BOUNCE
     nee_rr_prob: float = 1.0
+    # Deep-cloud path Russian roulette: cloud albedo 0.99 keeps throughput
+    # ~1, so the reference's throughput-driven roulette
+    # (pathtracer.py:448-453) almost never kills in-cloud lanes and the
+    # bounce 8-24 multi-scatter tail is the single largest frame cost
+    # (measured 38% of a 1080p Apollo spp). From bounce cloud_rr_start,
+    # in-cloud lanes continue with probability cloud_rr_keep and are
+    # reweighted by 1/keep — exactly unbiased; killed lanes are compacted
+    # out between stages, shrinking the tail tile count. 1.0 disables.
+    cloud_rr_start: int = C.MULTISCATTER_BOUNCE
+    cloud_rr_keep: float = 1.0
     # Two-level scheduling: run the bounce loop in stages and compact alive
     # lanes between them, so tiles of terminated lanes exit immediately
     # instead of pacing the worst lane through all 25 bounces. Stage 1 covers
     # [0, compact_after); later stages cover compact_every bounces each over
     # compact_tile-lane tiles of the compacted wavefront. compact_after=0
     # disables staging (single-stage tiles, the round-1 behavior).
-    # Defaults from the 1080p Apollo TPU sweep: stage 1 = the coherent
-    # primary bounce only, then 2-bounce stages over 32K-lane tiles
-    # (13.8 vs 25.9 s/spp single-stage).
+    # Defaults from the 1080p Apollo TPU sweeps: stage 1 = the coherent
+    # primary bounce only (round 2: 13.8 vs 25.9 s/spp single-stage), then
+    # 6-bounce stages over 32K-lane tiles. Round 3 re-swept the stage width
+    # after the march stall fix: each stage pays a fixed full-wavefront
+    # compaction (O(n) gathers over every state leaf) plus a stage sweep, so
+    # fewer, wider stages now win — 2/3/4/6 bounces measured
+    # 6.23/5.65/5.42/5.27 s/spp.
     compact_after: int = 1
-    compact_every: int = 2
+    compact_every: int = 6
     compact_tile: int = 32768

@@ -134,6 +134,18 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
       cannot exist in the bilinear heightfield);
     - reference-style negative-SDF backtrack (a probe inside the terrain
       retreats by its SDF, oscillating onto the boundary);
+    - *stall termination*: the heightfield SDF is only a radial bound, so a
+      lane on steep terrain can overshoot, retreat, and oscillate around the
+      boundary without ever meeting the relative epsilon — measured 1.3% of
+      lanes on an Apollo wavefront, but they run the full 250-probe budget
+      and the whole tile's while_loop paces its worst lane (99% of lanes
+      finish within ~8 probes; the stuck 1.3% cost ~5x march time). A lane
+      that makes less than a quarter step-floor of forward progress over two
+      consecutive sweeps is oscillating at the surface and terminates as a
+      hit at its current t — the same outcome the reference's
+      hit-if-unconverged-at-budget semantics (pathtracer.py:46) assigns it
+      ~60 iterations later, with sub-texel t difference (validated by the
+      tracking-equivalence and golden tests);
     - *speculative K-probe stepping*: each iteration places K probes at the
       lane's adaptive stride (last applied step) and resolves them with ONE
       batched texture gather. A probe chains to the next only while its
@@ -163,11 +175,11 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
         may_hit = may_hit & (t0 < t_cap)
 
     def cond(s):
-        i, _, _, done, _ = s
+        i, _, _, done, _, _ = s
         return (i < cfg.land_march_steps) & jnp.any(~done)
 
     def body(s):
-        i, t, stride, done, missed = s
+        i, t, stride, done, missed, stall = s
         ts = t[None, :] + arange_k * stride[None, :]  # (k, n) probe params
         ro = pos[None] + ts[..., None] * direction[None]
         sample = tx.sample_sphere_texture(topo, ro, bilinear=cfg.bilinear_tracking)
@@ -216,13 +228,22 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
 
         newly_done = any_stop & (conv_stop | out_stop)
         missed = missed | ((~done) & any_stop & out_stop & ~conv_stop)
-        t = jnp.where(done, t, jnp.where(newly_done, t_stop, t_new))
-        stride = jnp.where(done | newly_done, stride, stride_new)
-        done = done | newly_done
-        return i + k, t, stride, done, missed
+        t_next = jnp.where(done, t, jnp.where(newly_done, t_stop, t_new))
+        # stall termination: oscillating boundary lanes (see docstring)
+        stalled_now = (~done) & (~newly_done) & (
+            t_next - t < step_floor * 0.25
+        )
+        stall = jnp.where(stalled_now, stall + 1, 0)
+        stuck = stall >= 2  # terminate as a hit at the current t
+        stride = jnp.where(done | newly_done | stuck, stride, stride_new)
+        done = done | newly_done | stuck
+        return i + k, t_next, stride, done, missed, stall
 
-    _, t, _, _, missed = jax.lax.while_loop(
-        cond, body, (0, t0, jnp.full((n,), step_floor), ~may_hit, ~may_hit)
+    _, t, _, _, missed, _ = jax.lax.while_loop(
+        cond, body, (
+            0, t0, jnp.full((n,), step_floor), ~may_hit, ~may_hit,
+            jnp.zeros((n,), dtype=jnp.int32),
+        )
     )
     # reference semantics: anything that neither left the shell nor exceeded
     # the cap distance counts as a hit (pathtracer.py:46)
@@ -1029,7 +1050,7 @@ def init_state(ray_pos, ray_dir, wavelength, lambda_pdf=None) -> TraceState:
 
 def run_bounces(
     key, st: TraceState, scene: SceneParams, atlas, luts, cfg: TraceConfig,
-    bounce_start, bounce_stop,
+    bounce_start, bounce_stop, unroll: int | None = None,
 ) -> TraceState:
     """Advance the wavefront from ``bounce_start`` until ``bounce_stop`` (or
     every lane terminates). The loop body reproduces the reference's scatter
@@ -1038,7 +1059,15 @@ def run_bounces(
     ``bounce_start``/``bounce_stop`` may be traced scalars: the renderer's
     stage scheduler compiles ONE stage function and sweeps the bounce window
     dynamically (the loop is a while_loop, so trip counts are dynamic
-    anyway)."""
+    anyway).
+
+    ``unroll``: with a static stage width (the scheduler's windows are 1-2
+    bounces), pass it here to replace the outer while_loop with ``unroll``
+    inline body applications — XLA's while op costs real per-iteration
+    overhead (carry shuffling + condition: 61 ms of a 175 ms 32K-lane tail
+    call, 0.7 ms of a 2.4 ms stage-1 tile, measured round 3). Steps beyond
+    ``bounce_stop`` are discarded by a scalar select, so the result is
+    bit-identical to the while version."""
     wavelength = st.wavelength
     n, L = wavelength.shape
     lambda_pdf = st.lambda_pdf
@@ -1329,6 +1358,19 @@ def run_bounces(
         )
         alive = alive & ~killed
 
+        # deep-cloud path roulette (cfg.cloud_rr_*): unbiased decimation of
+        # the bounce 8-24 multi-scatter tail; killed lanes are compacted out
+        # between stages so this shrinks the tail tile count directly
+        if cfg.cloud_rr_keep < 1.0:
+            in_cloud_now = (iid == C.CLOUD_ID) | (iid == C.ISOTROPIC_CLOUD_ID)
+            crr = alive & scatter & in_cloud_now & (bounce >= cfg.cloud_rr_start)
+            u_crr = jax.random.uniform(keys[8], (n,))
+            ckilled = crr & (u_crr >= cfg.cloud_rr_keep)
+            new_thr = jnp.where(
+                (crr & ~ckilled)[:, None], new_thr / cfg.cloud_rr_keep, new_thr
+            )
+            alive = alive & ~ckilled
+
         # workload class of the lane's next bounce (stage-compaction bin)
         in_cloud = (iid == C.CLOUD_ID) | (iid == C.ISOTROPIC_CLOUD_ID)
         work_class = jnp.where(
@@ -1354,7 +1396,16 @@ def run_bounces(
         st.w_mis,
         st.work_class,
     )
-    state = jax.lax.while_loop(cond, body, init)
+    if unroll is not None:
+        state = init
+        for _ in range(unroll):
+            new_state = body(state)
+            in_window = state[0] < bounce_stop  # scalar: step counts?
+            state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(in_window, b, a), state, new_state
+            )
+    else:
+        state = jax.lax.while_loop(cond, body, init)
     return TraceState(
         pos=state[2],
         direction=state[3],

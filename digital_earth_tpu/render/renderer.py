@@ -169,7 +169,8 @@ def _render_step(
         )
         st = pt.init_state(pos, dirs, wavelengths, lambda_pdf)
         st = pt.run_bounces(
-            k_tr, st, scene, atlas, luts, cfg, 0, stages[1]
+            k_tr, st, scene, atlas, luts, cfg, 0, stages[1],
+            unroll=stages[1],
         )
         st = pt.shade_primary_miss(st, scene, atlas, luts, cfg)
         return responses, st
@@ -210,6 +211,11 @@ def _render_step(
                     i, sub = args
 
                     def live(_):
+                        # NOT unrolled: a tail tile whose lanes all die mid
+                        # stage skips the remaining bounces through the
+                        # while condition — worth more than the while op's
+                        # overhead (unrolled tail measured 6.41 s/spp vs
+                        # 5.77 while'd, 1080p Apollo)
                         return pt.run_bounces(
                             jax.random.fold_in(bkey, i), sub, scene, atlas,
                             luts, cfg, b0, b1,

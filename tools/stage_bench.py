@@ -55,6 +55,17 @@ def main():
         "newton6": {"flight_newton_iters": 6},
         "newton8": {"flight_newton_iters": 8},
         "newton10": {"flight_newton_iters": 10},
+        "ce3": {"compact_every": 3},
+        "ce4": {"compact_every": 4},
+        "ce6": {"compact_every": 6},
+        "ct16k": {"compact_tile": 16384},
+        "ct64k": {"compact_tile": 65536},
+        "crr6": {"cloud_rr_keep": 0.6},
+        "ce8": {"compact_every": 8},
+        "ce12": {"compact_every": 12},
+        "ce24": {"compact_every": 24},
+        "ce6_ct64k": {"compact_every": 6, "compact_tile": 65536},
+        "ce6_crr6": {"compact_every": 6, "cloud_rr_keep": 0.6},
     }
 
     for name in args.variants.split(","):
