@@ -99,6 +99,7 @@ class EarthViewer:
         port: int = 8000,
         adaptive_fps: float = 0.0,
         preview_scale: int = 4,
+        spp_chunks: int = 0,
         **renderer_kwargs,
     ):
         """``adaptive_fps`` > 0 enables the adaptive samples-per-frame
@@ -111,7 +112,13 @@ class EarthViewer:
         raymarcher at ``image_res / preview_scale`` instead of blocking the
         browser behind a multi-second path-traced spp; once input goes
         idle, frames escalate to the path tracer. 0 disables (reference
-        behavior: every frame is path-traced)."""
+        behavior: every frame is path-traced).
+
+        ``spp_chunks``: stripe each path-traced spp into this many pixel
+        chunks and poll for camera input between them, so worst-case
+        input-to-preview is one *chunk*, not one full-frame spp (~11 s at
+        1080p before this). 0 = auto (one chunk per ~250K pixels); 1
+        disables striping."""
         from ..utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
@@ -138,6 +145,10 @@ class EarthViewer:
         self.screenshot_dir = screenshot_dir
         self.port = port
         self.adaptive_fps = adaptive_fps
+        n_px = self.renderer.image_res[0] * self.renderer.image_res[1]
+        self.spp_chunks = (
+            spp_chunks if spp_chunks > 0 else max(1, -(-n_px // 250_000))
+        )
         self._lock = threading.Lock()
         # serializes accumulate() against frame fetches: the accumulation
         # buffer is donated to the jitted step, so reading it mid-step would
@@ -326,8 +337,31 @@ class EarthViewer:
                     pw, ph = self.preview_renderer.image_res
                     self._paths_per_sec = pw * ph / elapsed
                     continue
+                # striped spp: poll for input between pixel chunks; on
+                # input, abandon the partial spp so the preview branch
+                # answers within one chunk instead of one full frame
+                def input_pending():
+                    with self._lock:
+                        return bool(self._pending_keys) or (
+                            self._pending_rot[0] != 0.0
+                            or self._pending_rot[1] != 0.0
+                        ) or self._scene_dirty
+
+                aborted = False
                 for _ in range(spp_per_frame):
-                    self.renderer.accumulate()
+                    if self.spp_chunks > 1 and hasattr(
+                        self.renderer, "accumulate_interruptible"
+                    ):
+                        done = self.renderer.accumulate_interruptible(
+                            self.spp_chunks, interrupt=input_pending
+                        )
+                        if not done:
+                            aborted = True
+                            break
+                    else:
+                        self.renderer.accumulate()
+                if aborted:
+                    continue
                 self._sync(self.renderer.color_buffer)
                 self._frame_source = "path"
                 self._snapshot_frame()

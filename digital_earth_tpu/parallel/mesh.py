@@ -4,14 +4,20 @@ The reference is single-GPU (SURVEY.md §2.4); its only parallelism is the
 per-pixel grid. Samples are embarrassingly parallel and the only reduction is
 the accumulation-buffer sum, so the TPU-native scaling design is:
 
-- a 2D mesh ("px", "spp"): the flattened pixel grid is sharded across the
-  "px" axis (each chip owns a contiguous pixel slab), and independent spp
-  batches run across the "spp" axis;
-- each device traces its (pixel-shard x spp-batch) wavefront with a
-  device-unique fold of the frame key;
+- a 2D mesh ("px", "spp"): the frame's pixel blocks are sharded across the
+  "px" axis (each chip owns a contiguous range of blocks), and independent
+  spp batches run across the "spp" axis;
+- each device runs THE single-chip pipeline — renderer._trace_tile_range,
+  with its stage compaction and class binning — on its block range, with
+  per-lane RNG keyed by (frame key, global pixel id) (ops/rng.py);
 - one ``psum`` over the "spp" axis merges the per-spp partial sums over ICI;
   the result stays sharded over "px" (gathered lazily only when the host
   fetches the image).
+
+Because the pipeline and the RNG are layout-independent, the multi-chip
+frame is **bit-identical** to the single-chip ``Renderer``'s for the same
+seed — asserted in tests/test_parallel.py — so scaling out never changes
+the image, only the wall-clock.
 
 Textures and LUTs are replicated (they are tens of MB; sharding them would
 put gathers on the wrong side of the ICI).
@@ -19,7 +25,6 @@ put gathers on the wrong side of the ICI).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -27,10 +32,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import spectral as sp
-from ..render.camera import CameraParams, cast_dirs
+from ..render.camera import CameraParams
 from ..render.params import SceneParams, TraceConfig
-from ..render.pathtracer import trace_paths
+from ..render.renderer import _pick_block_dims, _trace_tile_range
 
 
 def make_render_mesh(
@@ -50,86 +54,52 @@ def make_render_mesh(
     return Mesh(arr, ("px", "spp"))
 
 
-def _tile_colors(key, cam, scene, atlas, luts, pixel_flat, image_res, cfg):
-    """Trace one spectral sample for a flat batch of pixel indices."""
-    n = pixel_flat.shape[0]
-    h = image_res[1]
-    k_ju, k_jv, k_wl, k_tr = jax.random.split(key, 4)
-    pu = (pixel_flat // h).astype(jnp.float32)
-    pv = (pixel_flat % h).astype(jnp.float32)
-    dirs = cast_dirs(
-        cam, pu, pv,
-        jax.random.uniform(k_ju, (n,)),
-        jax.random.uniform(k_jv, (n,)),
-        image_res,
-    )
-    pos = jnp.broadcast_to(cam.position, (n, 3))
-    u = jax.random.uniform(k_wl, (n,))
-    wavelengths, responses, lambda_pdf = sp.spectrum_sample_hero(
-        u, luts.cie_cdf, luts.cie_response, cfg.hero_lambdas
-    )
-    radiance = trace_paths(
-        k_tr, pos, dirs, wavelengths, scene, atlas, luts, cfg,
-        lambda_pdf=lambda_pdf,
-    )
-    return sp.xyz_to_rgb(jnp.einsum("nl,nlc->nc", radiance, responses))
-
-
-def _pick_tile(total: int, n_px: int, tile_pixels: int) -> int:
-    """Largest divisor of ``total`` that is <= tile_pixels and yields a tile
-    count divisible by the px axis."""
-    for d in range(min(tile_pixels, total), 0, -1):
-        if total % d == 0 and (total // d) % n_px == 0:
-            return d
-    raise ValueError((total, n_px, tile_pixels))
+def _pick_sharded_block(w: int, h: int, tile_pixels: int, n_px: int):
+    """Block dims whose tile count divides the px axis (largest block
+    <= tile_pixels with that property)."""
+    for target in range(tile_pixels, 0, -1):
+        bw, bh = _pick_block_dims(w, h, target)
+        if ((w // bw) * (h // bh)) % n_px == 0:
+            return bw, bh
+    raise ValueError((w, h, n_px))
 
 
 def make_sharded_render_step(
     mesh: Mesh,
     image_res: Tuple[int, int],
     cfg: TraceConfig = TraceConfig(),
-    tile_pixels: int = 1600,
+    tile_pixels: int = 2048,
 ):
-    """Build a jitted multi-chip render step.
+    """Build a jitted multi-chip render step running the single-chip staged
+    pipeline (renderer._trace_tile_range) on each device's block range.
 
-    Returns ``step(base_key, spp0, color_buffer, cam, scene, atlas, luts)``
-    where ``color_buffer`` is the (W*H, 3) flat accumulation buffer sharded
-    over "px" and ``spp0`` the global spp counter before this step. Each call
-    adds ``mesh.shape['spp']`` spp.
-
-    Determinism across mesh shapes: the pixel grid is cut into fixed tiles
-    and every tile's randomness is keyed by (base_key, global spp index,
-    *global* tile index) — never by a device's mesh coordinate — so renders
-    with the same seed and ``tile_pixels`` are bit-identical no matter how
-    the tiles are spread over the "px" axis (asserted by
-    tests/test_parallel.py). Pass the same ``tile_pixels`` when comparing
-    mesh shapes; the tile count must divide by every px-axis size used.
+    Returns ``(step, n_spp, block)`` where
+    ``step(base_key, spp0, color_buffer, cam, scene, atlas, luts)`` adds
+    ``n_spp`` spp to the tile-major flat (W*H, 3) accumulation buffer
+    (sharded over "px"), and ``spp0`` is the global spp counter before the
+    call — spp i uses ``fold_in(base_key, i)``, the exact key chain of the
+    single-chip ``Renderer.accumulate``, so frames match it bit for bit.
     """
     w, h = image_res
-    total = w * h
     n_px = mesh.shape["px"]
     n_spp = mesh.shape["spp"]
-    tile = _pick_tile(total, n_px, tile_pixels)
-    tiles_per_dev = (total // tile) // n_px
+    block = _pick_sharded_block(w, h, tile_pixels, n_px)
+    bw, bh = block
+    n_tiles = (w // bw) * (h // bh)
+    tiles_per_dev = n_tiles // n_px
 
     def shard_fn(base_key, spp0, color_buffer, cam, scene, atlas, luts):
         px_idx = jax.lax.axis_index("px")
         spp_idx = jax.lax.axis_index("spp")
         spp_key = jax.random.fold_in(base_key, spp0 + spp_idx)
-
-        def render_tile(local_t):
-            global_t = px_idx * tiles_per_dev + local_t
-            tkey = jax.random.fold_in(spp_key, global_t)
-            pixel_flat = global_t * tile + jnp.arange(tile)
-            return _tile_colors(
-                tkey, cam, scene, atlas, luts, pixel_flat, image_res, cfg
-            )
-
-        colors = jax.lax.map(render_tile, jnp.arange(tiles_per_dev))
-        colors = colors.reshape(tiles_per_dev * tile, 3)
-        # merge the spp batches over ICI; pixels stay sharded
-        colors = jax.lax.psum(colors, "spp")
-        return color_buffer + colors
+        rgb = _trace_tile_range(
+            spp_key, cam, scene, atlas, luts, image_res, block, cfg,
+            px_idx * tiles_per_dev, tiles_per_dev,
+        )
+        if n_spp > 1:
+            # merge the spp batches over ICI; pixels stay sharded
+            rgb = jax.lax.psum(rgb, "spp")
+        return color_buffer + rgb
 
     sharded = jax.shard_map(
         shard_fn,
@@ -138,11 +108,11 @@ def make_sharded_render_step(
         out_specs=P("px"),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(2,)), n_spp
+    return jax.jit(sharded, donate_argnums=(2,)), n_spp, block
 
 
 class MultiChipRenderer:
-    """Thin multi-chip accumulation driver around the sharded step.
+    """Multi-chip accumulation driver around the sharded step.
 
     Mirrors the Renderer accumulate/fetch contract; each ``accumulate()``
     adds ``spp_per_step`` samples per pixel (one per "spp"-axis device).
@@ -150,21 +120,22 @@ class MultiChipRenderer:
 
     def __init__(
         self, mesh, image_res, atlas, luts, cfg=TraceConfig(), seed=0,
-        tile_pixels=1600,
+        tile_pixels=2048,
     ):
         self.mesh = mesh
         self.image_res = tuple(image_res)
         self.atlas = atlas
         self.luts = luts
         self.cfg = cfg
-        self.step, self.spp_per_step = make_sharded_render_step(
+        self.step, self.spp_per_step, self.block = make_sharded_render_step(
             mesh, image_res, cfg, tile_pixels
         )
         self._base_key = jax.random.PRNGKey(seed)
         self.current_spp = 0
         sharding = NamedSharding(mesh, P("px"))
         self.color_buffer = jax.device_put(
-            jnp.zeros((image_res[0] * image_res[1], 3), dtype=jnp.float32), sharding
+            jnp.zeros((image_res[0] * image_res[1], 3), dtype=jnp.float32),
+            sharding,
         )
 
     def accumulate(self, cam: CameraParams, scene: SceneParams):
@@ -180,6 +151,16 @@ class MultiChipRenderer:
         self.current_spp += self.spp_per_step
 
     def fetch_buffer(self):
-        """(W, H, 3) accumulated linear RGB, gathered to host."""
+        """(W, H, 3) accumulated linear RGB, gathered to host.
+
+        The flat buffer is tile-major (the pipeline's lane order); undo the
+        block interleave exactly as the single-chip _render_step does."""
         w, h = self.image_res
-        return np.asarray(self.color_buffer).reshape(w, h, 3)
+        bw, bh = self.block
+        nbx, nby = w // bw, h // bh
+        flat = np.asarray(self.color_buffer)
+        return (
+            flat.reshape(nbx, nby, bw, bh, 3)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(w, h, 3)
+        )

@@ -45,6 +45,7 @@ from ..models import atmosphere_lut as atm
 from ..models import surface as srf
 from ..models import volume as vol
 from ..ops import math_utils as mu
+from ..ops import rng
 from ..ops import sampling as smp
 from ..ops import spectral as sp
 from ..ops import texture as tx
@@ -54,6 +55,20 @@ from . import tracking_naive as tn
 NULL_EVENT = 0
 ABSORB_EVENT = 1
 SCATTER_EVENT = 2
+
+# RNG site ids: each bounce's random consumers fold a distinct constant into
+# the per-lane bounce key (ops/rng.py — the chain is
+# spp key -> pixel -> bounce -> site -> loop iteration).
+_SITE_FLIGHT = 1
+_SITE_CONE = 2
+_SITE_TRANS = 3
+_SITE_PHASE = 4
+_SITE_HEMI = 5
+_SITE_RR = 6
+_SITE_NEE_RR = 7
+_SITE_CLOUD_RR = 8
+_SUB_RMO = 1     # within a flight/transmittance site: the RMO pass
+_SUB_CLOUD = 2   # within a flight/transmittance site: the cloud pass
 
 _ALBEDOS = jnp.asarray(C.SCATTERING_ALBEDOS)
 
@@ -323,7 +338,7 @@ def get_clouds_density(clouds_tex, pos, bilinear=True):
 
 
 def _delta_track_rmo(
-    key, ray_pos, ray_dir, t_start, t_max, extinctions, max_extinction,
+    keys, ray_pos, ray_dir, t_start, t_max, extinctions, max_extinction,
     active, cfg: TraceConfig,
 ):
     """Woodcock/delta tracking of a free-flight interaction with the
@@ -354,6 +369,7 @@ def _delta_track_rmo(
     n = t_start.shape[0]
     L = extinctions.shape[1]
     k = cfg.tracking_k
+    keys = rng.as_lane_keys(keys, n)
     valid = active & (t_max >= 0.0) & (t_start < t_max)
     t_max_safe = jnp.maximum(t_max, 0.0)
     arange_k = jnp.arange(k)[:, None]
@@ -363,13 +379,12 @@ def _delta_track_rmo(
     x_end = t_max_safe + xp
 
     def cond(s):
-        i, done = s[0], s[3]
+        i, done = s[0], s[2]
         return (i < cfg.max_tracking_steps) & jnp.any(~done)
 
     def body(s):
-        i, key, t, done, event, iid = s
-        key, k1 = jax.random.split(key)
-        u = jax.random.uniform(k1, (3, k, n))
+        i, t, done, event, iid = s
+        u = rng.uniform(rng.fold(keys, i), (3, k))  # (3, k, n)
         # local hero majorant over the remaining segment [t, t_max]
         r_min = atm.segment_min_radius(rp, t + xp, x_end)
         env = atm.density_envelope(r_min - C.PLANET_R)  # (n, 3)
@@ -407,22 +422,21 @@ def _delta_track_rmo(
         iid = jnp.where(hit, iid_new, iid)
         t = jnp.where(done, t, t_sel)
         done = done | ((~done) & any_stop)
-        return i + 1, key, t, done, event, iid
+        return i + 1, t, done, event, iid
 
     init = (
         0,
-        key,
         t_start,
         ~valid,
         jnp.full((n,), NULL_EVENT, dtype=jnp.int32),
         jnp.zeros((n,), dtype=jnp.int32),
     )
-    _, _, t, _, event, iid = jax.lax.while_loop(cond, body, init)
+    _, t, _, event, iid = jax.lax.while_loop(cond, body, init)
     return event, t, iid
 
 
 def _sample_rmo_flight_analytic(
-    key, ray_pos, ray_dir, t_start, t_max, ext_rmo, active, cfg: TraceConfig
+    keys, ray_pos, ray_dir, t_start, t_max, ext_rmo, active, cfg: TraceConfig
 ):
     """RMO free-flight event by exact CDF inversion
     (atmosphere_lut.sample_flight_distance) — distribution-identical to
@@ -434,7 +448,7 @@ def _sample_rmo_flight_analytic(
     Returns (event, t, interaction_id) like _delta_track_rmo."""
     n = ray_pos.shape[0]
     ext_h = ext_rmo[:, 0, :]
-    u = jax.random.uniform(key, (3, n))
+    u = rng.uniform(rng.as_lane_keys(keys, n), (3,))  # (3, n)
     t, collided, _ = atm.sample_flight_distance(
         u[0], ray_pos, ray_dir, t_start, t_max, ext_h,
         n_iter=cfg.flight_newton_iters,
@@ -487,7 +501,7 @@ def spectral_flight_weights(
 
 
 def _ratio_track_rmo(
-    key, ray_pos, ray_dir, t_start, t_max, extinctions, max_extinction,
+    keys, ray_pos, ray_dir, t_start, t_max, extinctions, max_extinction,
     active, cfg: TraceConfig,
 ):
     """Residual ratio tracking of RMO transmittance
@@ -498,18 +512,18 @@ def _ratio_track_rmo(
     n = t_start.shape[0]
     L = extinctions.shape[1]
     k = cfg.tracking_k
+    keys = rng.as_lane_keys(keys, n)
     valid = active & (t_max >= 0.0) & (t_start < t_max)
     inv_max = 1.0 / max_extinction
     t_max_safe = jnp.maximum(t_max, 0.0)
 
     def cond(s):
-        i, _, _, done, _ = s
+        i, _, done, _ = s
         return (i < cfg.max_tracking_steps) & jnp.any(~done)
 
     def body(s):
-        i, key, t, done, trans = s
-        key, k1 = jax.random.split(key)
-        u = jax.random.uniform(k1, (k, n))
+        i, t, done, trans = s
+        u = rng.uniform(rng.fold(keys, i), (k,))  # (k, n)
         steps = -jnp.log(jnp.maximum(u, 1e-12)) * inv_max
         ts = t[None, :] + jnp.cumsum(steps, axis=0)
         pos = ray_pos[None] + jnp.minimum(ts, t_max_safe)[..., None] * ray_dir[None]
@@ -522,10 +536,10 @@ def _ratio_track_rmo(
         trans = trans * jnp.prod(factors, axis=0)
         t = jnp.where(done, t, ts[-1])
         done = done | (ts[-1] >= t_max) | (jnp.max(trans, axis=-1) < 1e-5)
-        return i + 1, key, t, done, trans
+        return i + 1, t, done, trans
 
-    init = (0, key, t_start, ~valid, jnp.ones((n, L)))
-    _, _, _, _, trans = jax.lax.while_loop(cond, body, init)
+    init = (0, t_start, ~valid, jnp.ones((n, L)))
+    _, _, _, trans = jax.lax.while_loop(cond, body, init)
     return trans
 
 
@@ -550,7 +564,7 @@ _CLOUD_SKIP_COARSE = 100e3  # < 115 km coarse-mip validity
 
 
 def _track_cloud(
-    key, ray_pos, ray_dir, t_start, t_max, ext_w, max_extinction,
+    keys, ray_pos, ray_dir, t_start, t_max, ext_w, max_extinction,
     clouds_tex, active, cfg: TraceConfig, mode: str,
 ):
     """Space-skipping cloud tracking (mode = 'delta' or 'ratio').
@@ -578,6 +592,7 @@ def _track_cloud(
     """
     n = t_start.shape[0]
     k = cfg.tracking_k
+    keys = rng.as_lane_keys(keys, n)
     is_delta = mode == "delta"
     valid = active & (t_max >= 0.0) & (t_start < t_max)
     t_max_safe = jnp.maximum(t_max, 0.0)
@@ -592,13 +607,12 @@ def _track_cloud(
         )
 
     def cond(s):
-        i, done = s[0], s[3]
+        i, done = s[0], s[2]
         return (i < cfg.max_tracking_steps) & jnp.any(~done)
 
     def body(s):
-        i, key, t, done, t_fetch, sig_loc, stride, event, trans = s
-        key, k1 = jax.random.split(key)
-        u = jax.random.uniform(k1, (3, k, n))
+        i, t, done, t_fetch, sig_loc, stride, event, trans = s
+        u = rng.uniform(rng.fold(keys, i), (3, k))  # (3, k, n)
 
         skipping = sig_loc <= 0.0
         budget_end = jnp.minimum(t_fetch + _CLOUD_VALID, t_max)
@@ -769,11 +783,10 @@ def _track_cloud(
         t_fetch_new = jnp.where(jumped, t_new, t_fetch_new)
 
         done = done | (t_new >= t_max)
-        return i + 1, key, t_new, done, t_fetch_new, sig_new, stride_new, event, trans
+        return i + 1, t_new, done, t_fetch_new, sig_new, stride_new, event, trans
 
     init = (
         0,
-        key,
         t_start,
         ~valid,
         t_start,
@@ -782,7 +795,7 @@ def _track_cloud(
         jnp.full((n,), NULL_EVENT, dtype=jnp.int32),
         jnp.ones((n,)),
     )
-    _, _, t, _, _, _, _, event, trans = jax.lax.while_loop(cond, body, init)
+    _, t, _, _, _, _, event, trans = jax.lax.while_loop(cond, body, init)
     if is_delta:
         return event, t
     return trans
@@ -823,7 +836,7 @@ def _rmo_span(ray_pos, ray_dir, land_isection):
 
 
 def sample_interaction(
-    key, ray_pos, ray_dir, land_isection, ext_rmo, ext_w, max_ext_rmo,
+    keys, ray_pos, ray_dir, land_isection, ext_rmo, ext_w, max_ext_rmo,
     max_ext_cloud, atlas, active, cfg: TraceConfig,
 ):
     """Two-pass free-flight sampling by superposition: the cloud slab, then
@@ -838,7 +851,9 @@ def sample_interaction(
     """
     n = ray_pos.shape[0]
     L = ext_rmo.shape[1]
-    k_rmo, k_cloud = jax.random.split(key)
+    keys = rng.as_lane_keys(keys, n)
+    k_rmo = rng.fold(keys, _SUB_RMO)
+    k_cloud = rng.fold(keys, _SUB_CLOUD)
     t_start, t_max = _rmo_span(ray_pos, ray_dir, land_isection)
 
     if cfg.naive_tracking:
@@ -896,7 +911,7 @@ def sample_interaction(
 
 
 def sample_transmittance(
-    key, ray_pos, ray_dir, land_isection, ext_rmo, ext_w, max_ext_rmo,
+    keys, ray_pos, ray_dir, land_isection, ext_rmo, ext_w, max_ext_rmo,
     max_ext_cloud, atlas, active, cfg: TraceConfig,
 ):
     """Transmittance toward the sun: exact closed-form RMO transmittance from
@@ -906,7 +921,9 @@ def sample_transmittance(
     transmittance (n, L)."""
     n = ray_pos.shape[0]
     L = ext_rmo.shape[1]
-    k_rmo, k_cloud = jax.random.split(key)
+    keys = rng.as_lane_keys(keys, n)
+    k_rmo = rng.fold(keys, _SUB_RMO)
+    k_cloud = rng.fold(keys, _SUB_CLOUD)
     t_start, t_max = _rmo_span(ray_pos, ray_dir, land_isection)
     if cfg.naive_tracking:
         assert L == 1, "naive_tracking supports single-wavelength tracing only"
@@ -1021,6 +1038,11 @@ class TraceState(NamedTuple):
     w_mis: jnp.ndarray        # (N, L)
     alive: jnp.ndarray        # (N,) bool
     primary_miss: jnp.ndarray # (N,) bool
+    # per-lane RNG key (ops/rng.py): derived from (spp key, global pixel
+    # id) at ray generation and permuted with the lane by the stage
+    # compactor, so a lane's random stream is independent of every
+    # execution-layout choice (tiling, compaction, device mesh).
+    rng: jnp.ndarray          # (N, 2) uint32
     # workload class of the lane's NEXT bounce, for homogeneous SIMD
     # scheduling (renderer stage compaction bins by it): 0 = cloud
     # scatter, 1 = gas scatter, 2 = surface bounce. Tracking loops run at
@@ -1030,10 +1052,16 @@ class TraceState(NamedTuple):
     work_class: jnp.ndarray   # (N,) int32
 
 
-def init_state(ray_pos, ray_dir, wavelength, lambda_pdf=None) -> TraceState:
+def init_state(ray_pos, ray_dir, wavelength, lambda_pdf=None,
+               rng_keys=None) -> TraceState:
+    """``rng_keys``: (N, 2) per-lane keys or one (2,) key (expanded over
+    lane index — fine for tests/tools; the renderer passes pixel-derived
+    keys so streams survive any tiling)."""
     n, L = wavelength.shape
     if lambda_pdf is None:
         lambda_pdf = jnp.ones((n, L))
+    if rng_keys is None:
+        rng_keys = jax.random.PRNGKey(0)
     return TraceState(
         pos=ray_pos,
         direction=ray_dir,
@@ -1045,11 +1073,12 @@ def init_state(ray_pos, ray_dir, wavelength, lambda_pdf=None) -> TraceState:
         alive=jnp.ones((n,), dtype=bool),
         primary_miss=jnp.zeros((n,), dtype=bool),
         work_class=jnp.zeros((n,), dtype=jnp.int32),
+        rng=rng.as_lane_keys(rng_keys, n),
     )
 
 
 def run_bounces(
-    key, st: TraceState, scene: SceneParams, atlas, luts, cfg: TraceConfig,
+    st: TraceState, scene: SceneParams, atlas, luts, cfg: TraceConfig,
     bounce_start, bounce_stop, unroll: int | None = None,
 ) -> TraceState:
     """Advance the wavefront from ``bounce_start`` until ``bounce_stop`` (or
@@ -1071,6 +1100,7 @@ def run_bounces(
     wavelength = st.wavelength
     n, L = wavelength.shape
     lambda_pdf = st.lambda_pdf
+    rng_keys = st.rng  # (n, 2); constant across bounces, closed over
     scale = scene.land_height_scale
 
     # Per-wavelength constants (reference pathtracer.py:332-343); pure VPU
@@ -1101,11 +1131,11 @@ def run_bounces(
 
     def cond(state):
         bounce = state[0]
-        alive = state[6]
+        alive = state[5]
         return (bounce < bounce_stop) & jnp.any(alive)
 
     def body(state):
-        (bounce, key, pos, direction, throughput, radiance, alive,
+        (bounce, pos, direction, throughput, radiance, alive,
          primary_miss, w_mis, work_class) = state
 
         # cloud extinction drops after bounce 9 (reference pathtracer.py:351-352)
@@ -1115,8 +1145,8 @@ def run_bounces(
         ext_w = jnp.full((n,), 1.0) * ext_w_scalar
         max_ext_cloud = ext_w * C.CLOUDS_DENSITY
 
-        keys = jax.random.split(key, 10)
-        key = keys[0]
+        # per-lane bounce keys (ops/rng.py): lane key -> bounce -> site
+        kb = rng.fold(rng_keys, bounce)
 
         # 1. land intersection, 2. free-flight sampling capped at the land
         # hit (reference pathtracer.py:359-368).
@@ -1127,8 +1157,8 @@ def run_bounces(
             # exactly the grazing near-terrain lanes that set the pace.
             earth = _march(atlas.topography, pos, direction, scale, alive, cfg)
             event, t_int, iid = sample_interaction(
-                keys[1], pos, direction, earth, ext_rmo, ext_w, max_ext_rmo,
-                max_ext_cloud, atlas, alive, cfg,
+                rng.fold(kb, _SITE_FLIGHT), pos, direction, earth, ext_rmo,
+                ext_w, max_ext_rmo, max_ext_cloud, atlas, alive, cfg,
             )
         else:
             # March-on-demand: ONE topo tap at the ray origin certifies a
@@ -1168,8 +1198,9 @@ def run_bounces(
             base_near, _ = mu.rsi(pos, direction, C.PLANET_R)
             cap_proxy = jnp.where(base_near > 0.0, base_near, -1.0)
             event, t_int, iid = sample_interaction(
-                keys[1], pos, direction, cap_proxy, ext_rmo, ext_w,
-                max_ext_rmo, max_ext_cloud, atlas, alive, cfg,
+                rng.fold(kb, _SITE_FLIGHT), pos, direction, cap_proxy,
+                ext_rmo, ext_w, max_ext_rmo, max_ext_cloud, atlas, alive,
+                cfg,
             )
             need_march = alive & (
                 (event == NULL_EVENT) | (t_int > jnp.maximum(d_free, 0.0))
@@ -1217,7 +1248,7 @@ def run_bounces(
         denom = jnp.maximum(jnp.sum(lambda_pdf * w_mis, axis=-1), 1e-12)[:, None]
 
         # 3. NEE sun direction for every lane (reference pathtracer.py:373)
-        u_c = jax.random.uniform(keys[2], (2, n))
+        u_c = rng.uniform(rng.fold(kb, _SITE_CONE), (2,))  # (2, n)
         light_dir = smp.sample_cone_oriented(
             u_c[0], u_c[1], scene.sun_cos_angle, light_direction
         )
@@ -1236,7 +1267,7 @@ def run_bounces(
         # --- surface lanes (reference pathtracer.py:404-439) ---
         # All surface work (material gathers, normals, shadow march, BRDFs)
         # is gated on any lane actually hitting land this bounce.
-        u_h = jax.random.uniform(keys[5], (2, n))
+        u_h = rng.uniform(rng.fold(kb, _SITE_HEMI), (2,))  # (2, n)
 
         def surface_work(_):
             earth_safe = jnp.where(surface, earth, 0.0)
@@ -1290,7 +1321,7 @@ def run_bounces(
         # track with prob p, reweight by 1/p — unbiased decimation of the
         # dominant cloud ratio-tracking on the multi-scatter tail
         if cfg.nee_rr_prob < 1.0:
-            u_nee = jax.random.uniform(keys[7], (n,))
+            u_nee = rng.uniform(rng.fold(kb, _SITE_NEE_RR))
             rr_nee = bounce > cfg.nee_rr_start
             nee_keep = (~rr_nee) | (u_nee < cfg.nee_rr_prob)
             nee_active = nee_active & nee_keep
@@ -1298,8 +1329,9 @@ def run_bounces(
         else:
             nee_w = jnp.ones(())
         trans = sample_transmittance(
-            keys[3], nee_origin, light_dir, jnp.full((n,), -1.0), ext_rmo, ext_w,
-            max_ext_rmo, max_ext_cloud, atlas, nee_active, cfg,
+            rng.fold(kb, _SITE_TRANS), nee_origin, light_dir,
+            jnp.full((n,), -1.0), ext_rmo, ext_w, max_ext_rmo,
+            max_ext_cloud, atlas, nee_active, cfg,
         )  # (n, L)
         if cfg.nee_rr_prob < 1.0:
             trans = trans * jnp.where(nee_active, nee_w, 0.0)[:, None]
@@ -1327,7 +1359,7 @@ def run_bounces(
         )
 
         # --- continue the path (reference pathtracer.py:397-401, 434-439) ---
-        u_ph = jax.random.uniform(keys[4], (3, n))
+        u_ph = rng.uniform(rng.fold(kb, _SITE_PHASE), (3,))  # (3, n)
         phase_dir, phase_w = vol.sample_phase_dirs(
             u_ph[0], u_ph[1], u_ph[2], direction, iid, reduce_peak
         )
@@ -1351,7 +1383,7 @@ def run_bounces(
         # (reference pathtracer.py:448-453)
         rr_on = alive & (bounce > cfg.rr_start)
         p_kill = jnp.maximum(0.05, 1.0 - new_thr[:, 0])
-        u_rr = jax.random.uniform(keys[6], (n,))
+        u_rr = rng.uniform(rng.fold(kb, _SITE_RR))
         killed = rr_on & (u_rr < p_kill)
         new_thr = jnp.where(
             (rr_on & ~killed)[:, None], new_thr / (1.0 - p_kill[:, None]), new_thr
@@ -1364,7 +1396,7 @@ def run_bounces(
         if cfg.cloud_rr_keep < 1.0:
             in_cloud_now = (iid == C.CLOUD_ID) | (iid == C.ISOTROPIC_CLOUD_ID)
             crr = alive & scatter & in_cloud_now & (bounce >= cfg.cloud_rr_start)
-            u_crr = jax.random.uniform(keys[8], (n,))
+            u_crr = rng.uniform(rng.fold(kb, _SITE_CLOUD_RR))
             ckilled = crr & (u_crr >= cfg.cloud_rr_keep)
             new_thr = jnp.where(
                 (crr & ~ckilled)[:, None], new_thr / cfg.cloud_rr_keep, new_thr
@@ -1380,13 +1412,12 @@ def run_bounces(
         )
 
         return (
-            bounce + 1, key, new_pos, new_dir, new_thr, radiance, alive,
+            bounce + 1, new_pos, new_dir, new_thr, radiance, alive,
             primary_miss, w_mis, work_class,
         )
 
     init = (
         jnp.asarray(bounce_start, dtype=jnp.int32),
-        key,
         st.pos,
         st.direction,
         st.throughput,
@@ -1407,16 +1438,17 @@ def run_bounces(
     else:
         state = jax.lax.while_loop(cond, body, init)
     return TraceState(
-        pos=state[2],
-        direction=state[3],
+        pos=state[1],
+        direction=state[2],
         wavelength=wavelength,
         lambda_pdf=lambda_pdf,
-        throughput=state[4],
-        radiance=state[5],
-        w_mis=state[8],
-        alive=state[6],
-        primary_miss=state[7],
-        work_class=state[9],
+        throughput=state[3],
+        radiance=state[4],
+        w_mis=state[7],
+        alive=state[5],
+        primary_miss=state[6],
+        work_class=state[8],
+        rng=rng_keys,
     )
 
 
@@ -1464,7 +1496,8 @@ def finalize_radiance(st: TraceState):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, luts,
-                cfg: TraceConfig = TraceConfig(), lambda_pdf=None):
+                cfg: TraceConfig = TraceConfig(), lambda_pdf=None,
+                lane_ids=None):
     """Trace one spectral path per lane (single-stage wavefront).
 
     Hero-wavelength packets (Wilkie et al. 2014): each path carries L
@@ -1484,6 +1517,10 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
         spectrum_sample's pdf). Defaults to 1 — then the L=1 return value is
         raw radiance, matching the pre-packet API where the caller divides
         by the pdf.
+      lane_ids: (N,) integer ids folded into ``key`` to derive per-lane RNG
+        streams (ops/rng.py); pass global pixel indices to make the result
+        independent of how a frame was cut into trace_paths calls. Defaults
+        to ``arange(N)``.
 
     Returns:
       (N,) radiance if wavelength was 1-D, else (N, L) MIS-weighted
@@ -1493,8 +1530,11 @@ def trace_paths(key, ray_pos, ray_dir, wavelength, scene: SceneParams, atlas, lu
     squeeze = wavelength.ndim == 1
     if squeeze:
         wavelength = wavelength[:, None]
-    st = init_state(ray_pos, ray_dir, wavelength, lambda_pdf)
-    st = run_bounces(key, st, scene, atlas, luts, cfg, 0, cfg.max_bounces)
+    if lane_ids is None:
+        lane_ids = jnp.arange(ray_pos.shape[0])
+    st = init_state(ray_pos, ray_dir, wavelength, lambda_pdf,
+                    rng_keys=rng.lane_keys(key, lane_ids))
+    st = run_bounces(st, scene, atlas, luts, cfg, 0, cfg.max_bounces)
     st = shade_primary_miss(st, scene, atlas, luts, cfg)
     radiance = finalize_radiance(st)
     if squeeze:

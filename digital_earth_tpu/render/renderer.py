@@ -29,12 +29,19 @@ import numpy as np
 from .. import constants as C
 from ..assets.luts import CRFPack, SpectralLUTs, load_crf_pack, load_spectral_luts
 from ..assets.textures import TextureAtlas, load_texture_atlas
+from ..ops import rng
 from ..ops import spectral as sp
 from . import film
 from .camera import CameraParams, cast_dirs
 from .params import SceneParams, TraceConfig, make_scene_params
 from . import pathtracer as pt
 from .pathtracer import trace_paths
+
+# Frame-level RNG sites (folded into per-lane pixel keys; disjoint from the
+# pathtracer's per-bounce site ids by construction — different chain depth —
+# and kept out of the bounce-index range anyway).
+_SITE_JITTER = 101
+_SITE_WL = 102
 
 
 def _pick_block_dims(w: int, h: int, target: int) -> Tuple[int, int]:
@@ -106,23 +113,28 @@ def _stage_bounds(cfg: TraceConfig):
     return bounds
 
 
-@partial(
-    jax.jit,
-    static_argnames=("image_res", "block", "cfg", "mode"),
-    donate_argnames=("color_buffer",),
-)
-def _render_step(
-    key, color_buffer, cam: CameraParams, scene: SceneParams, atlas, luts,
+def _trace_tile_range(
+    key, cam: CameraParams, scene: SceneParams, atlas, luts,
     image_res: Tuple[int, int], block: Tuple[int, int], cfg: TraceConfig,
-    mode: str = "path",
+    tile0, n_tiles_range: int, mode: str = "path",
 ):
-    """Add one spp to the (W, H, 3) accumulation buffer. ``mode`` selects the
-    integrator: "path" = full spectral path tracing, "preview" = the
-    deterministic single-scatter ray marcher (render/raymarcher.py).
+    """Render the pixel blocks [tile0, tile0 + n_tiles_range): stage-1
+    bounces per spatially-coherent (bw, bh) block, then compacted tail
+    stages over this range's whole wavefront. Returns
+    (n_tiles_range * bw * bh, 3) linear RGB in tile-major lane order.
 
-    Two-level scheduling (cfg.compact_after > 0): spatially-coherent (bw, bh)
-    pixel blocks trace bounces [0, compact_after) and shade misses; the
-    surviving wavefront is then compacted alive-lanes-first between each
+    This is THE render pipeline, shared verbatim by the single-chip renderer
+    (one range covering the frame) and the multi-chip renderer (one range
+    per "px"-axis device, ``tile0`` from the device's mesh coordinate).
+    All randomness is per-lane, keyed by (frame key, global pixel id)
+    (ops/rng.py), and compaction/tiling only permute lanes, so a pixel's
+    value is bit-identical no matter how the frame is cut into ranges —
+    asserted across mesh shapes and against the single-chip renderer in
+    tests/test_parallel.py.
+
+    Two-level scheduling (cfg.compact_after > 0): blocks trace bounces
+    [0, compact_after) and shade misses; the surviving wavefront is then
+    compacted alive-lanes-first (binned by workload class) between each
     subsequent stage of compact_every bounces, so the long cloud
     multi-scatter tail runs only ceil(alive/compact_tile) tiles instead of
     every tile at worst-lane pace (the tail measured 56% of an Apollo frame
@@ -131,54 +143,58 @@ def _render_step(
     bw, bh = block
     tile = bw * bh
     nbx, nby = w // bw, h // bh
-    n_tiles = nbx * nby
+    n_tiles = n_tiles_range
     stages = _stage_bounds(cfg)
-    # disjoint key domains for per-tile and per-stage streams: folding both
-    # from one key risks a tile index colliding with a stage constant at
-    # very large frames (ADVICE r2), so split once instead
-    tile_key, stage_key = jax.random.split(key)
 
     def render_tile(tile_idx):
-        """Ray gen + spectral sampling + stage-1 bounces (+ miss shading)."""
-        tkey = jax.random.fold_in(tile_key, tile_idx)
-        k_jit_u, k_jit_v, k_wl, k_tr = jax.random.split(tkey, 4)
+        """Ray gen + spectral sampling + stage-1 bounces (+ miss shading).
+
+        All randomness is per-lane, keyed by (frame key, global pixel id)
+        (ops/rng.py), so the rendered frame is bit-identical under any
+        tile/block/mesh layout."""
         bx = tile_idx // nby
         by = tile_idx % nby
         lane = jnp.arange(tile)
-        pu = (bx * bw + lane // bh).astype(jnp.float32)
-        pv = (by * bh + lane % bh).astype(jnp.float32)
-        dirs = cast_dirs(
-            cam, pu, pv,
-            jax.random.uniform(k_jit_u, (tile,)),
-            jax.random.uniform(k_jit_v, (tile,)),
-            image_res,
-        )
+        pu_i = bx * bw + lane // bh
+        pv_i = by * bh + lane % bh
+        lkeys = rng.lane_keys(key, pu_i * h + pv_i)  # global pixel id
+        pu = pu_i.astype(jnp.float32)
+        pv = pv_i.astype(jnp.float32)
+        u_jit = rng.uniform(rng.fold(lkeys, _SITE_JITTER), (2,))  # (2, n)
+        dirs = cast_dirs(cam, pu, pv, u_jit[0], u_jit[1], image_res)
         pos = jnp.broadcast_to(cam.position, (tile, 3))
-        u = jax.random.uniform(k_wl, (tile,))
+        u = rng.uniform(rng.fold(lkeys, _SITE_WL))
         if mode == "preview":
             from .raymarcher import march_paths
 
             wavelength, response, rcp_pdf = sp.spectrum_sample(
                 u, luts.cie_cdf, luts.cie_response
             )
-            radiance = march_paths(k_tr, pos, dirs, wavelength, scene, atlas, luts, cfg)
+            radiance = march_paths(
+                jax.random.fold_in(key, tile_idx), pos, dirs, wavelength,
+                scene, atlas, luts, cfg,
+            )
             xyz = radiance[:, None] * response * rcp_pdf[:, None]
             return sp.xyz_to_rgb(xyz), None
         wavelengths, responses, lambda_pdf = sp.spectrum_sample_hero(
             u, luts.cie_cdf, luts.cie_response, cfg.hero_lambdas
         )
-        st = pt.init_state(pos, dirs, wavelengths, lambda_pdf)
+        st = pt.init_state(pos, dirs, wavelengths, lambda_pdf,
+                           rng_keys=lkeys)
         st = pt.run_bounces(
-            k_tr, st, scene, atlas, luts, cfg, 0, stages[1],
+            st, scene, atlas, luts, cfg, 0, stages[1],
             unroll=stages[1],
         )
         st = pt.shade_primary_miss(st, scene, atlas, luts, cfg)
         return responses, st
 
+    tile_ids = tile0 + jnp.arange(n_tiles)
     if mode == "preview":
-        tiles = jax.lax.map(lambda i: render_tile(i)[0], jnp.arange(n_tiles))
+        return jax.lax.map(
+            lambda i: render_tile(i)[0], tile_ids
+        ).reshape(n_tiles * tile, 3)
     else:
-        responses, st = jax.lax.map(render_tile, jnp.arange(n_tiles))
+        responses, st = jax.lax.map(render_tile, tile_ids)
         n = n_tiles * tile
         responses, st = jax.tree_util.tree_map(
             lambda a: a.reshape((n,) + a.shape[2:]), (responses, st)
@@ -192,7 +208,6 @@ def _render_step(
             width = cfg.compact_every
             ctile = cfg.compact_tile if n % cfg.compact_tile == 0 else tile
             n_ctiles = n // ctile
-            skey = stage_key
 
             def stage_cond(carry):
                 b0 = carry[0]
@@ -204,7 +219,6 @@ def _render_step(
                 (st, responses, lane_id), _ = _compact_by_alive(
                     (st, responses, lane_id), st.alive, st.work_class
                 )
-                bkey = jax.random.fold_in(skey, b0)
                 b1 = jnp.minimum(b0 + width, cfg.max_bounces)
 
                 def stage_tile(args):
@@ -217,8 +231,7 @@ def _render_step(
                         # overhead (unrolled tail measured 6.41 s/spp vs
                         # 5.77 while'd, 1080p Apollo)
                         return pt.run_bounces(
-                            jax.random.fold_in(bkey, i), sub, scene, atlas,
-                            luts, cfg, b0, b1,
+                            sub, scene, atlas, luts, cfg, b0, b1,
                         )
 
                     # compaction packs alive lanes into a tile prefix, so
@@ -251,11 +264,74 @@ def _render_step(
         rgb = sp.xyz_to_rgb(xyz)
         # un-permute back to tile-major pixel order
         rgb = jnp.zeros_like(rgb).at[lane_id].set(rgb)
-        tiles = rgb.reshape(n_tiles, tile, 3)
+        return rgb
 
+
+@partial(
+    jax.jit,
+    static_argnames=("image_res", "block", "cfg", "mode"),
+    donate_argnames=("color_buffer",),
+)
+def _render_step(
+    key, color_buffer, cam: CameraParams, scene: SceneParams, atlas, luts,
+    image_res: Tuple[int, int], block: Tuple[int, int], cfg: TraceConfig,
+    mode: str = "path",
+):
+    """Add one spp to the (W, H, 3) accumulation buffer. ``mode`` selects the
+    integrator: "path" = full spectral path tracing, "preview" = the
+    deterministic single-scatter ray marcher (render/raymarcher.py). The
+    pipeline itself lives in _trace_tile_range (shared with the multi-chip
+    renderer)."""
+    w, h = image_res
+    bw, bh = block
+    tile = bw * bh
+    nbx, nby = w // bw, h // bh
+    n_tiles = nbx * nby
+    rgb = _trace_tile_range(
+        key, cam, scene, atlas, luts, image_res, block, cfg, 0, n_tiles,
+        mode,
+    )
     # (nbx*nby, bw*bh, 3) -> (W, H, 3)
     frame = (
-        tiles.reshape(nbx, nby, bw, bh, 3)
+        rgb.reshape(nbx, nby, bw, bh, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(w, h, 3)
+    )
+    return color_buffer + frame
+
+
+@partial(
+    jax.jit,
+    static_argnames=("image_res", "block", "cfg", "mode", "n_chunk_tiles"),
+    donate_argnames=("staging",),
+)
+def _render_chunk(
+    key, staging, cam: CameraParams, scene: SceneParams, atlas, luts, tile0,
+    image_res: Tuple[int, int], block: Tuple[int, int], cfg: TraceConfig,
+    n_chunk_tiles: int, mode: str = "path",
+):
+    """Render ``n_chunk_tiles`` pixel blocks starting at dynamic ``tile0``
+    into the flat tile-major staging buffer. One compiled executable sweeps
+    a whole spp chunk by chunk, so the viewer can poll for camera input
+    between chunks instead of sitting behind a full-frame dispatch
+    (worst-case input-to-preview was ~11 s at 1080p — VERDICT r2 item 6).
+    Per-lane pixel-keyed RNG (ops/rng.py) makes the chunked spp
+    bit-identical to the unchunked one."""
+    rgb = _trace_tile_range(
+        key, cam, scene, atlas, luts, image_res, block, cfg, tile0,
+        n_chunk_tiles, mode,
+    )
+    tile = block[0] * block[1]
+    return jax.lax.dynamic_update_slice(staging, rgb, (tile0 * tile, 0))
+
+
+@partial(jax.jit, static_argnames=("image_res", "block"))
+def _merge_staging(color_buffer, staging, image_res, block):
+    w, h = image_res
+    bw, bh = block
+    nbx, nby = w // bw, h // bh
+    frame = (
+        staging.reshape(nbx, nby, bw, bh, 3)
         .transpose(0, 2, 1, 3, 4)
         .reshape(w, h, 3)
     )
@@ -388,6 +464,44 @@ class Renderer:
             self.atlas, self.luts,
         )
         self.current_spp += 1
+
+    def accumulate_interruptible(self, n_chunks: int, interrupt=None) -> bool:
+        """Trace one spp in ~``n_chunks`` pixel-block chunks, calling
+        ``interrupt()`` between chunks; abort (discarding the partial spp)
+        when it returns True. Returns whether the spp completed.
+
+        Bit-identical to ``accumulate()`` for the same seed — the per-lane
+        RNG (ops/rng.py) doesn't care how the frame is cut — so the two can
+        be mixed freely. Each chunk blocks until the device finishes (that
+        is the point: bounded time between interrupt polls)."""
+        w, h = self.image_res
+        bw, bh = self.block
+        n_tiles = (w // bw) * (h // bh)
+        n_chunks = max(
+            (d for d in range(1, min(n_chunks, n_tiles) + 1)
+             if n_tiles % d == 0),
+            default=1,
+        )
+        per = n_tiles // n_chunks
+        key = jax.random.fold_in(self._base_key, self.current_spp)
+        cam, scene = self._camera_params(), self._scene_params()
+        staging = jnp.zeros((n_tiles * self.tile, 3), dtype=jnp.float32)
+        for c in range(n_chunks):
+            staging = _render_chunk(
+                key, staging, cam, scene, self.atlas, self.luts,
+                jnp.asarray(c * per, jnp.int32),
+                image_res=self.image_res, block=self.block, cfg=self.cfg,
+                n_chunk_tiles=per, mode=self.mode,
+            )
+            if interrupt is not None and c + 1 < n_chunks:
+                staging.block_until_ready()
+                if interrupt():
+                    return False
+        self.color_buffer = _merge_staging(
+            self.color_buffer, staging, self.image_res, self.block
+        )
+        self.current_spp += 1
+        return True
 
     def _resolve_step(self, key):
         """Bind the static render-step arguments and route through the AOT

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from .. import constants as C
 from ..models import volume as vol
 from ..ops import math_utils as mu
+from ..ops import rng
 from ..ops import texture as tx
 
 NULL_EVENT = 0
@@ -70,25 +71,25 @@ def _density4_naive(pos, clouds_tex, species, bilinear):
 
 
 def delta_track_naive(
-    key, ray_pos, ray_dir, t_start, t_max, extinctions, max_extinction,
+    keys, ray_pos, ray_dir, t_start, t_max, extinctions, max_extinction,
     clouds_tex, species, active, cfg,
 ):
     """One-step-per-iteration Woodcock tracking against the global majorant
     (reference pathtracer.py:77-115). ``extinctions`` is (n, 4); channel 3 is
     the cloud extinction. Returns (event, t, interaction_id)."""
     n = t_start.shape[0]
+    keys = rng.as_lane_keys(keys, n)
     valid = active & (t_max >= 0.0) & (t_start < t_max)
     inv_max = 1.0 / max_extinction
     t_max_safe = jnp.maximum(t_max, 0.0)
 
     def cond(s):
-        i, _, _, done, _, _ = s
+        i, _, done, _, _ = s
         return (i < cfg.max_tracking_steps) & jnp.any(~done)
 
     def body(s):
-        i, key, t, done, event, iid = s
-        key, k1 = jax.random.split(key)
-        u = jax.random.uniform(k1, (3, n))
+        i, t, done, event, iid = s
+        u = rng.uniform(rng.fold(keys, i), (3,))  # (3, n)
         t_new = t - jnp.log(jnp.maximum(u[0], 1e-12)) * inv_max
         over = t_new >= t_max
         pos = ray_pos + jnp.minimum(t_new, t_max_safe)[:, None] * ray_dir
@@ -112,35 +113,35 @@ def delta_track_naive(
         iid = jnp.where(hit, iid_new, iid)
         t = jnp.where(done, t, t_new)
         done = done | over | hit
-        return i + 1, key, t, done, event, iid
+        return i + 1, t, done, event, iid
 
     init = (
-        0, key, t_start, ~valid,
+        0, t_start, ~valid,
         jnp.full((n,), NULL_EVENT, dtype=jnp.int32),
         jnp.zeros((n,), dtype=jnp.int32),
     )
-    _, _, t, _, event, iid = jax.lax.while_loop(cond, body, init)
+    _, t, _, event, iid = jax.lax.while_loop(cond, body, init)
     return event, t, iid
 
 
 def ratio_track_naive(
-    key, ray_pos, ray_dir, t_start, t_max, extinctions, max_extinction,
+    keys, ray_pos, ray_dir, t_start, t_max, extinctions, max_extinction,
     clouds_tex, species, active, cfg,
 ):
     """One-step-per-iteration ratio tracking (reference pathtracer.py:117-143)."""
     n = t_start.shape[0]
+    keys = rng.as_lane_keys(keys, n)
     valid = active & (t_max >= 0.0) & (t_start < t_max)
     inv_max = 1.0 / max_extinction
     t_max_safe = jnp.maximum(t_max, 0.0)
 
     def cond(s):
-        i, _, _, done, _ = s
+        i, _, done, _ = s
         return (i < cfg.max_tracking_steps) & jnp.any(~done)
 
     def body(s):
-        i, key, t, done, trans = s
-        key, k1 = jax.random.split(key)
-        u = jax.random.uniform(k1, (n,))
+        i, t, done, trans = s
+        u = rng.uniform(rng.fold(keys, i))  # (n,)
         t_new = t - jnp.log(jnp.maximum(u, 1e-12)) * inv_max
         over = t_new >= t_max
         pos = ray_pos + jnp.minimum(t_new, t_max_safe)[:, None] * ray_dir
@@ -151,8 +152,8 @@ def ratio_track_naive(
         trans = jnp.where(done | over, trans, trans * (1.0 - total * inv_max))
         done = done | over | (trans < 1e-5)
         t = jnp.where(done, t, t_new)
-        return i + 1, key, t, done, trans
+        return i + 1, t, done, trans
 
-    init = (0, key, t_start, ~valid, jnp.ones((n,)))
-    _, _, _, _, trans = jax.lax.while_loop(cond, body, init)
+    init = (0, t_start, ~valid, jnp.ones((n,)))
+    _, _, _, trans = jax.lax.while_loop(cond, body, init)
     return trans

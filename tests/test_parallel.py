@@ -80,6 +80,36 @@ class TestMesh:
         assert np.isfinite(a).all() and (a != 0).any()
         np.testing.assert_array_equal(a, b)
 
+    def test_multichip_matches_single_chip_renderer(self, scene_setup):
+        """The gate of VERDICT r2 item 4: the multi-chip renderer runs THE
+        single-chip staged pipeline (renderer._trace_tile_range) per device
+        with per-lane pixel-keyed RNG, so an (px=8, spp=1) frame must be
+        bit-identical to the single-chip Renderer's frame for the same
+        seed/scene — not merely mesh-shape-invariant against itself."""
+        from digital_earth_tpu.render.renderer import Renderer
+
+        atlas, luts, cam, scene, cfg = scene_setup
+        m8 = make_render_mesh(devices=jax.devices(), spp_axis=1)
+        rm = MultiChipRenderer(
+            m8, (32, 8), atlas, luts, cfg=cfg, tile_pixels=32, seed=5
+        )
+        rs = Renderer(
+            image_res=(32, 8), atlas=atlas, luts=luts, cfg=cfg,
+            tile_pixels=32, seed=5,
+        )
+        assert tuple(rm.block) == tuple(rs.block)
+        # drive the single-chip renderer to the fixture's camera/scene
+        rs.set_camera_pos(35963490.0, 12765367.0, -42445899.0)
+        rs.set_look_at(23201393.0, 8394073.0, -26074562.0)
+        rs.set_fov(0.127)
+        for _ in range(2):
+            rm.accumulate(cam, scene)
+            rs.accumulate()
+        a = rm.fetch_buffer()
+        b = np.asarray(rs.color_buffer)
+        assert np.isfinite(a).all() and (a != 0).any()
+        np.testing.assert_array_equal(a, b)
+
     def test_spp_axis_matches_sequential_steps(self, scene_setup):
         """A (px=4, spp=2) step is keyed by global spp indices, so one step
         equals two sequential (px=8, spp=1) steps up to summation order."""

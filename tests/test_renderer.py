@@ -88,6 +88,37 @@ class TestRenderer:
             np.asarray(r2.color_buffer), np.asarray(r.color_buffer)
         )
 
+    def test_interruptible_chunks_bit_identical(self, atlas):
+        """A striped spp (accumulate_interruptible) must equal the
+        unchunked spp bit for bit: per-lane pixel-keyed RNG (ops/rng.py)
+        makes the frame independent of how it is cut into chunks."""
+        a = _mk(atlas, seed=7, res=(32, 16))
+        b = _mk(atlas, seed=7, res=(32, 16))
+        # smaller blocks so there are several tiles to chunk over
+        a.block, a.tile = (8, 8), 64
+        b.block, b.tile = (8, 8), 64
+        a.accumulate()
+        done = b.accumulate_interruptible(4)
+        assert done and b.current_spp == 1
+        np.testing.assert_array_equal(
+            np.asarray(a.color_buffer), np.asarray(b.color_buffer)
+        )
+
+    def test_interruptible_abort_discards_partial_spp(self, atlas):
+        r = _mk(atlas, seed=7, res=(32, 16))
+        r.block, r.tile = (8, 8), 64
+        calls = []
+
+        def interrupt():
+            calls.append(1)
+            return True  # abort at the first poll
+
+        done = r.accumulate_interruptible(4, interrupt=interrupt)
+        assert not done
+        assert len(calls) == 1
+        assert r.current_spp == 0
+        assert not np.asarray(r.color_buffer).any()
+
     def test_preview_mode_runs(self, atlas):
         r = _mk(atlas, mode="preview")
         r.accumulate()

@@ -169,8 +169,8 @@ def main():
         wavelengths, responses, lambda_pdf = sp.spectrum_sample_hero(
             u, luts.cie_cdf, luts.cie_response, cfg.hero_lambdas
         )
-        st = pt.init_state(pos, dirs, wavelengths, lambda_pdf)
-        st = pt.run_bounces(k_tr, st, scene, atlas, luts, cfg, 0, stages[1])
+        st = pt.init_state(pos, dirs, wavelengths, lambda_pdf, rng_keys=k_tr)
+        st = pt.run_bounces(st, scene, atlas, luts, cfg, 0, stages[1])
         st = pt.shade_primary_miss(st, scene, atlas, luts, cfg)
         return responses, st
 
@@ -204,7 +204,7 @@ def main():
 
     tail_jit = jax.jit(
         lambda k, st: pt.run_bounces(
-            k, st, scene, atlas, luts, cfg,
+            st, scene, atlas, luts, cfg,
             jnp.asarray(stages[1], jnp.int32),
             jnp.asarray(stages[1] + cfg.compact_every, jnp.int32),
         )

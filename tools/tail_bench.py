@@ -93,8 +93,8 @@ def main():
         wl, resp, lpdf = sp.spectrum_sample_hero(
             u, luts.cie_cdf, luts.cie_response, cfg.hero_lambdas
         )
-        st = pt.init_state(pos, dirs, wl, lpdf)
-        return pt.run_bounces(k_tr, st, scene, atlas, luts, cfg, 0, stages[1])
+        st = pt.init_state(pos, dirs, wl, lpdf, rng_keys=k_tr)
+        return pt.run_bounces(st, scene, atlas, luts, cfg, 0, stages[1])
 
     def build_tail_state(cfg):
         s1 = jax.jit(lambda k, i: stage1_tile(k, i, cfg))
@@ -130,7 +130,7 @@ def main():
         cfg = dataclasses.replace(cfg0, **over)
         tail = jax.jit(
             lambda k, s, cfg=cfg: pt.run_bounces(
-                k, s, scene, atlas, luts, cfg,
+                s, scene, atlas, luts, cfg,
                 jnp.asarray(stages[1], jnp.int32),
                 jnp.asarray(stages[1] + args.bounces, jnp.int32),
             )
