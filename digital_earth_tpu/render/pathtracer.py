@@ -124,7 +124,7 @@ _MIP_VALID_COARSE = 115e3
 
 
 def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
-                   t_cap=None):
+                   t_cap=None, any_hit=False):
     """Sphere-march against the displaced sphere with regional analytic skips.
 
     Semantics follow reference pathtracer.py:27-46 (march budget, relative
@@ -168,6 +168,16 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
       lanes retire K quarter-texel steps per iteration and open-ocean lanes
       retire K ~100 km skips — quartering the dominant per-iteration fixed
       costs (gather latency + loop bookkeeping) in both regimes.
+
+    ``any_hit``: occlusion-only queries (surface-NEE shadow rays,
+    reference pathtracer.py:422) need a binary answer, not the boundary
+    parameter — a probe that lands inside the terrain (f < 0) terminates
+    the lane as a hit immediately instead of backtracking onto the
+    boundary and grinding the relative epsilon, and the oscillation-stall
+    machinery is moot. Identical hit/miss outcome (any lane that ever
+    penetrates would converge to a hit; the epsilon-converged and
+    budget-exhausted cases count as hits in both modes), fewer worst-lane
+    iterations.
 
     Returns hit distance, -1.0 on miss.
     """
@@ -218,6 +228,8 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
             f < 0.0, f, jnp.maximum(jnp.maximum(f, s_region), step_floor)
         )  # (k, n)
         converged = jnp.abs(f) < ts * 1e-4
+        if any_hit:
+            converged = converged | (f < 0.0)
         out = ts > miss_beyond[None, :]
         # probe j stops the sweep if it terminates (converged/left the shell)
         # or cannot certify the stride to probe j+1
@@ -1282,9 +1294,17 @@ def run_bounces(
                 luts.srgb2spec, albedo_srgb[:, None, :], wavelength
             )  # (n, L)
             offset_pos = land_pos * (1.0 + 0.0001 * scale / 12000.0)
-            shadow_hit = _march(
-                atlas.topography, offset_pos, light_dir, scale, surface, cfg
-            )
+            if cfg.naive_tracking:
+                shadow_hit = _march(
+                    atlas.topography, offset_pos, light_dir, scale, surface,
+                    cfg,
+                )
+            else:
+                # occlusion only: any-hit march (see intersect_land)
+                shadow_hit = intersect_land(
+                    atlas.topography, offset_pos, light_dir, scale, surface,
+                    cfg, any_hit=True,
+                )
             sur_vis = shadow_hit < 0.0
             # the BRDF is linear in the spectral albedo: evaluate geometry
             # once, combine per wavelength (reference pathtracer.py:431-439)
