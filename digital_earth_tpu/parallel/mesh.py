@@ -34,7 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..render.camera import CameraParams
 from ..render.params import SceneParams, TraceConfig
-from ..render.renderer import _pick_block_dims, _trace_tile_range
+from ..render.renderer import Renderer, _pick_block_dims, _trace_tile_range
 
 
 def make_render_mesh(
@@ -111,34 +111,48 @@ def make_sharded_render_step(
     return jax.jit(sharded, donate_argnums=(2,)), n_spp, block
 
 
-class MultiChipRenderer:
-    """Multi-chip accumulation driver around the sharded step.
-
-    Mirrors the Renderer accumulate/fetch contract; each ``accumulate()``
+class MultiChipRenderer(Renderer):
+    """Multi-chip Renderer: the full single-chip API (``set_*``,
+    ``accumulate()``, ``fetch_image()``, ``reset_framebuffer()``,
+    checkpointing), executing over the device mesh — so the viewer and
+    offline render paths run multi-chip by just constructing this class
+    instead of Renderer (``main.py --multichip``). Each ``accumulate()``
     adds ``spp_per_step`` samples per pixel (one per "spp"-axis device).
-    """
+
+    The accumulation buffer lives flat tile-major, sharded over "px";
+    ``fetch_image``/``fetch_buffer`` reassemble the (W, H, 3) frame.
+    ``accumulate(cam, scene)`` also accepts explicit params for the
+    driver-dryrun/test call shape."""
 
     def __init__(
         self, mesh, image_res, atlas, luts, cfg=TraceConfig(), seed=0,
-        tile_pixels=2048,
+        tile_pixels=2048, **renderer_kwargs,
     ):
+        super().__init__(
+            image_res=image_res, atlas=atlas, luts=luts, cfg=cfg, seed=seed,
+            tile_pixels=tile_pixels, **renderer_kwargs,
+        )
         self.mesh = mesh
-        self.image_res = tuple(image_res)
-        self.atlas = atlas
-        self.luts = luts
-        self.cfg = cfg
         self.step, self.spp_per_step, self.block = make_sharded_render_step(
             mesh, image_res, cfg, tile_pixels
         )
-        self._base_key = jax.random.PRNGKey(seed)
-        self.current_spp = 0
-        sharding = NamedSharding(mesh, P("px"))
-        self.color_buffer = jax.device_put(
-            jnp.zeros((image_res[0] * image_res[1], 3), dtype=jnp.float32),
-            sharding,
+        self.tile = self.block[0] * self.block[1]
+        self._sharding = NamedSharding(mesh, P("px"))
+        self.color_buffer = self._zeros()
+
+    def _zeros(self):
+        w, h = self.image_res
+        return jax.device_put(
+            jnp.zeros((w * h, 3), dtype=jnp.float32), self._sharding
         )
 
-    def accumulate(self, cam: CameraParams, scene: SceneParams):
+    def reset_framebuffer(self):
+        self.current_spp = 0
+        self.color_buffer = self._zeros()
+
+    def accumulate(self, cam: CameraParams = None, scene: SceneParams = None):
+        cam = self._camera_params() if cam is None else cam
+        scene = self._scene_params() if scene is None else scene
         self.color_buffer = self.step(
             self._base_key,
             jnp.asarray(self.current_spp, dtype=jnp.int32),
@@ -150,17 +164,62 @@ class MultiChipRenderer:
         )
         self.current_spp += self.spp_per_step
 
-    def fetch_buffer(self):
-        """(W, H, 3) accumulated linear RGB, gathered to host.
+    def accumulate_interruptible(self, n_chunks, interrupt=None):
+        """Multi-chip steps are already 1/n_px of the frame per chip; chunk
+        striping is a single-chip latency tool. One whole step per call."""
+        self.accumulate()
+        return True
 
-        The flat buffer is tile-major (the pipeline's lane order); undo the
-        block interleave exactly as the single-chip _render_step does."""
+    def _assembled_buffer(self):
+        """Undo the tile-major block interleave -> (W, H, 3), on device."""
         w, h = self.image_res
         bw, bh = self.block
         nbx, nby = w // bw, h // bh
-        flat = np.asarray(self.color_buffer)
         return (
-            flat.reshape(nbx, nby, bw, bh, 3)
+            self.color_buffer.reshape(nbx, nby, bw, bh, 3)
             .transpose(0, 2, 1, 3, 4)
             .reshape(w, h, 3)
+        )
+
+    def fetch_image(self):
+        from ..render.renderer import _postprocess
+
+        return _postprocess(
+            self._assembled_buffer(),
+            jnp.asarray(self.current_spp, dtype=jnp.float32),
+            jnp.asarray(self.exposure, dtype=jnp.float32),
+            jnp.asarray(self.gamma, dtype=jnp.float32),
+            self.crf.curves,
+            jnp.asarray(self.selected_crf, dtype=jnp.int32),
+            self.image_res,
+            self.drt,
+        )
+
+    def fetch_buffer(self):
+        """(W, H, 3) accumulated linear RGB, gathered to host."""
+        return np.asarray(self._assembled_buffer())
+
+    def save_checkpoint(self, path: str):
+        np.savez_compressed(
+            path,
+            color_buffer=self.fetch_buffer(),
+            current_spp=self.current_spp,
+            seed_key=np.asarray(self._base_key),
+        )
+
+    def load_checkpoint(self, path: str):
+        with np.load(path) as z:
+            frame = z["color_buffer"]  # (W, H, 3) assembled layout
+            self.current_spp = int(z["current_spp"])
+            self._base_key = jnp.asarray(z["seed_key"], dtype=jnp.uint32)
+        w, h = self.image_res
+        bw, bh = self.block
+        nbx, nby = w // bw, h // bh
+        flat = (
+            frame.reshape(nbx, bw, nby, bh, 3)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(w * h, 3)
+        )
+        self.color_buffer = jax.device_put(
+            jnp.asarray(flat, jnp.float32), self._sharding
         )

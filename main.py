@@ -1,7 +1,29 @@
 """Entry point: launch the interactive Earth viewer
-(counterpart of the reference main.py:1-5)."""
+(counterpart of the reference main.py:1-5).
+
+``--multichip`` renders over every available chip via the ("px", "spp")
+device mesh (parallel/mesh.py) — same image bit for bit, one accumulate
+adds one spp per "spp"-axis device.
+"""
+
+import sys
 
 from digital_earth_tpu.app.viewer import EarthViewer
 
 if __name__ == "__main__":
-    EarthViewer(image_res=(1920, 1080)).start()
+    image_res = (1920, 1080)
+    if "--multichip" in sys.argv:
+        import jax
+
+        from digital_earth_tpu.parallel.mesh import (
+            MultiChipRenderer, make_render_mesh,
+        )
+        from digital_earth_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        renderer = MultiChipRenderer(
+            make_render_mesh(), image_res, atlas=None, luts=None
+        )
+        EarthViewer(renderer=renderer).start()
+    else:
+        EarthViewer(image_res=image_res).start()

@@ -110,6 +110,55 @@ class TestMesh:
         assert np.isfinite(a).all() and (a != 0).any()
         np.testing.assert_array_equal(a, b)
 
+    def test_multichip_full_renderer_api(self, scene_setup):
+        """MultiChipRenderer IS a Renderer: set_* + accumulate() without
+        explicit params + fetch_image + checkpoint roundtrip, so the viewer
+        and offline paths run multi-chip unchanged."""
+        atlas, luts, cam, scene, cfg = scene_setup
+        m8 = make_render_mesh(devices=jax.devices(), spp_axis=1)
+        r = MultiChipRenderer(
+            m8, (32, 8), atlas, luts, cfg=cfg, tile_pixels=32, seed=5
+        )
+        r.set_camera_pos(35963490.0, 12765367.0, -42445899.0)
+        r.set_look_at(23201393.0, 8394073.0, -26074562.0)
+        r.set_fov(0.127)
+        r.accumulate()
+        assert r.current_spp == 1
+        img = np.asarray(r.fetch_image())
+        assert img.shape == (32, 8, 3)
+        assert np.isfinite(img).all() and (img > 0).any()
+        # matches the single-chip Renderer's post-processed image too
+        from digital_earth_tpu.render.renderer import Renderer
+
+        rs = Renderer(
+            image_res=(32, 8), atlas=atlas, luts=luts, cfg=cfg,
+            tile_pixels=32, seed=5,
+        )
+        rs.set_camera_pos(35963490.0, 12765367.0, -42445899.0)
+        rs.set_look_at(23201393.0, 8394073.0, -26074562.0)
+        rs.set_fov(0.127)
+        rs.accumulate()
+        np.testing.assert_array_equal(img, np.asarray(rs.fetch_image()))
+
+    def test_multichip_checkpoint_roundtrip(self, scene_setup, tmp_path):
+        atlas, luts, cam, scene, cfg = scene_setup
+        m = make_render_mesh(devices=jax.devices()[:2], spp_axis=1)
+        r = MultiChipRenderer(m, (16, 8), atlas, luts, cfg=cfg, seed=3)
+        r.accumulate(cam, scene)
+        before = r.fetch_buffer()
+        p = str(tmp_path / "ckpt.npz")
+        r.save_checkpoint(p)
+        r2 = MultiChipRenderer(m, (16, 8), atlas, luts, cfg=cfg, seed=3)
+        r2.load_checkpoint(p)
+        assert r2.current_spp == r.current_spp
+        np.testing.assert_allclose(r2.fetch_buffer(), before, atol=1e-7)
+        # resumed accumulation continues the same stream
+        r.accumulate(cam, scene)
+        r2.accumulate(cam, scene)
+        np.testing.assert_allclose(
+            r2.fetch_buffer(), r.fetch_buffer(), atol=1e-6
+        )
+
     def test_spp_axis_matches_sequential_steps(self, scene_setup):
         """A (px=4, spp=2) step is keyed by global spp indices, so one step
         equals two sequential (px=8, spp=1) steps up to summation order."""
