@@ -65,6 +65,14 @@ def main():
     ap.add_argument("--spp", type=int, default=256, help="spp per seed batch")
     ap.add_argument("--batches", type=int, default=8, help="seed batches/arm")
     ap.add_argument("--block", type=int, default=20, help="block size (px)")
+    ap.add_argument(
+        "--exclude-top-pct", type=float, default=0.5,
+        help="exclude this percent of brightest pixels (by the COMBINED "
+        "mean of both arms — symmetric, so zero-mean under H0) from the "
+        "frame-mean metric; sun-glint fireflies otherwise dominate the "
+        "frame mean's variance and destroy the test's power. The raw "
+        "(no-exclusion) numbers are reported alongside.",
+    )
     ap.add_argument("--state", default=None, help="checkpoint npz path")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
@@ -75,6 +83,12 @@ def main():
     from digital_earth_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if os.environ.get("DE_FORCE_CPU"):
+        # the env var route is overridden by the TPU plugin's registration;
+        # config.update wins (tests/conftest.py documents the trap)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
 
@@ -117,8 +131,9 @@ def main():
                 r.accumulate()
             r.color_buffer.block_until_ready()
             store[key] = np.asarray(r.color_buffer) / args.spp
-            np.savez_compressed(state_path + ".tmp", **store)
-            os.replace(state_path + ".tmp", state_path)
+            tmp = state_path + ".tmp.npz"  # savez appends .npz otherwise
+            np.savez_compressed(tmp, **store)
+            os.replace(tmp, state_path)
             print(
                 f"{key}: {args.spp} spp in {time.time()-t0:.1f}s "
                 f"({args.width*args.height*args.spp/(time.time()-t0):.0f} "
@@ -130,15 +145,28 @@ def main():
     N = np.stack([store[f"naive_{b}"] for b in range(args.batches)])
     B = args.batches
 
-    # headline: per-channel relative error of the frame mean + SE
-    am = A.mean(axis=(1, 2))  # (B, 3) per-batch frame means
-    nm = N.mean(axis=(1, 2))
-    mu_a, mu_n = am.mean(0), nm.mean(0)
-    se = np.sqrt(am.var(0, ddof=1) / B + nm.var(0, ddof=1) / B)
-    rel_err = (mu_a - mu_n) / mu_n
-    rel_floor = se / mu_n
+    # headline: per-channel relative error of the frame mean + SE.
+    # |mu_n| in denominators: single-wavelength XYZ->RGB samples are signed
+    # (a saturated-λ firefly can push a barely-sampled channel negative), so
+    # the convergence-relative scale is the magnitude.
+    def frame_stats(keep):
+        am = A[:, keep].mean(axis=1)  # (B, 3) per-batch frame means
+        nm = N[:, keep].mean(axis=1)
+        mu_a, mu_n = am.mean(0), nm.mean(0)
+        se = np.sqrt(am.var(0, ddof=1) / B + nm.var(0, ddof=1) / B)
+        return (mu_a - mu_n) / np.abs(mu_n), se / np.abs(mu_n)
 
-    # spatial z-scores over blocks
+    all_px = np.ones(A.shape[1:3], bool)
+    rel_err_raw, rel_floor_raw = frame_stats(all_px)
+    comb = 0.5 * (np.abs(A).mean(axis=(0, 3)) + np.abs(N).mean(axis=(0, 3)))
+    if args.exclude_top_pct > 0:
+        keep = comb <= np.percentile(comb, 100 - args.exclude_top_pct)
+    else:
+        keep = all_px
+    rel_err, rel_floor = frame_stats(keep)
+
+    # spatial z-scores over blocks; relative diffs are luminance-relative
+    # (per-channel block means can sit near zero)
     bs = args.block
     W, H = args.width, args.height
     bw, bh = W // bs, H // bs
@@ -148,10 +176,12 @@ def main():
     Ab, Nb = blk(A), blk(N)
     d = Ab.mean(0) - Nb.mean(0)
     se_b = np.sqrt(Ab.var(0, ddof=1) / B + Nb.var(0, ddof=1) / B)
-    lum = Nb.mean(0).mean(-1, keepdims=True)
+    lum = np.abs(Nb.mean(0)).mean(-1, keepdims=True)
     lit = np.broadcast_to(lum > np.percentile(lum, 25), d.shape)
     z = d[lit] / np.maximum(se_b[lit], 1e-12)
-    rel_blk = np.abs(d[lit]) / np.maximum(Nb.mean(0)[lit], 1e-12)
+    rel_blk = np.abs(d[lit]) / np.broadcast_to(
+        np.maximum(lum, 1e-12), d.shape
+    )[lit]
 
     result = {
         "scene": args.scene,
@@ -161,6 +191,11 @@ def main():
         "total_spp_per_arm": args.spp * B,
         "rel_err_pct": [round(100 * float(x), 4) for x in rel_err],
         "noise_floor_pct": [round(100 * float(x), 4) for x in rel_floor],
+        "excluded_top_pct": args.exclude_top_pct,
+        "rel_err_raw_pct": [round(100 * float(x), 4) for x in rel_err_raw],
+        "noise_floor_raw_pct": [
+            round(100 * float(x), 4) for x in rel_floor_raw
+        ],
         "block_abs_z_median": round(float(np.median(np.abs(z))), 3),
         "block_abs_z_p95": round(float(np.percentile(np.abs(z), 95)), 3),
         "block_abs_z_expected_h0": [0.674, 1.96],
