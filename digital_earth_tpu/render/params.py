@@ -72,6 +72,19 @@ class TraceConfig:
     # Speculative probes per land-march iteration (same batching idea; the
     # march amortizes its fixed gather latency over more probes).
     march_k: int = 4
+    # March step floor, as a fraction of a texel arc. The floor is the
+    # march's only UNCERTIFIED step (f-steps detect penetration by sign,
+    # regional mip skips are certified), so it is a tunneling window:
+    # terrain crossings narrower along-ray than floor*texel can be hopped
+    # without either probe dipping inside — grazing secondary bounce rays
+    # are the exposed population, and because grazing-crossing widths scale
+    # with the texel, the bias is a function of the FRACTION, not the
+    # absolute floor. Measured (Apollo 192 spp/arm vs the floor-free naive
+    # march, docs/PARITY.md): 0.25 -> -5.6% +- 1.7 luminance; 0.02 ->
+    # -1.1% +- 1.7 (zero within noise). 0.02 is the fidelity-safe default;
+    # the tight-mip regional skip carries the certified progress the old
+    # floor was papering over.
+    march_floor_frac: float = 0.02
     # Hero-wavelength packet size: wavelengths traced per path (Wilkie et al.
     # 2014 spectral MIS). 1 = the reference's single-wavelength estimator;
     # 4 amortizes the path's geometry/tracking over 4 spectral samples,
@@ -95,6 +108,13 @@ class TraceConfig:
     # plain sphere march (render/tracking_naive.py) instead of the
     # accelerated implementations. Slower; for parity checks and debugging.
     naive_tracking: bool = False
+    # Fine-grained naive-ification (parity bisection): swap ONE accelerated
+    # subsystem for its reference-faithful twin while the rest stays
+    # accelerated. naive_march also disables the any-hit shadow variant;
+    # naive_cloud_tracking swaps both the cloud delta and ratio passes
+    # (cloud extinction is wavelength-flat, so packets still work).
+    naive_march: bool = False
+    naive_cloud_tracking: bool = False
     # March-on-demand: track free flights first (against the base-sphere
     # cap) and run the land march only for lanes whose event falls outside
     # the terrain-free ball one topo tap certifies at the ray origin.

@@ -186,7 +186,15 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
         return jnp.full((n,), -1.0)
     k = cfg.march_k
     arange_k = jnp.arange(k)[:, None].astype(jnp.float32)
-    step_floor = math.pi * C.PLANET_R / topo.w * 0.25  # quarter-texel arc
+    # Step floor: a fraction of a texel arc. The floor is the march's ONLY
+    # uncertified step (f-steps detect penetration by sign, regional skips
+    # are certified), so its size is the tunneling window: a grazing ray
+    # can hop a terrain crossing narrower than the floor without either
+    # probe dipping inside (measured as a -12% whole-image bias vs the
+    # floor-free naive march at 1024-res textures where the floor is
+    # 2.4 km; see docs/PARITY.md bisection). cfg.march_floor_frac trades
+    # worst-lane iteration count against that window.
+    step_floor = math.pi * C.PLANET_R / topo.w * cfg.march_floor_frac
 
     bound_near, bound_far = mu.rsi(pos, direction, C.PLANET_R + scale)
     may_hit = active & (bound_far > 0.0)
@@ -221,8 +229,15 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
             )
 
         s_region = jnp.maximum(
-            regional_skip(sample[..., 1], _MIP_VALID_FINE),
-            regional_skip(sample[..., 2], _MIP_VALID_COARSE),
+            jnp.maximum(
+                regional_skip(sample[..., 1], _MIP_VALID_FINE),
+                regional_skip(sample[..., 2], _MIP_VALID_COARSE),
+            ),
+            # tight 8 km bound (channel 3): least dilation, so it clears
+            # valley/ocean rays that the 25 km-dilated fine bound keeps
+            # hostage to distant peaks — certified progress exactly where
+            # the step floor otherwise binds
+            regional_skip(sample[..., 3], _CLOUD_VALID),
         )
         step = jnp.where(
             f < 0.0, f, jnp.maximum(jnp.maximum(f, s_region), step_floor)
@@ -858,8 +873,14 @@ def sample_interaction(
     exactly at the joint event).
 
     ext_rmo: (n, L, 3) per-wavelength extinction coefficients; ext_w: (n,)
-    cloud extinction. Returns (event, t, interaction_id); hero-packet MIS
-    weights are computed afterwards in closed form (spectral_flight_weights).
+    cloud extinction. Returns (event, t, interaction_id, c_event, c_t) —
+    the cloud pass's own event rides along so the lazy-march scheduler can
+    re-merge after demoting RMO events past the land hit (the reference
+    caps only the RMO span by the land hit; its cloud span for above/inside
+    rays ignores land entirely — reference pathtracer.py:145-169 — so a
+    cloud event behind a terrain peak scatters there, and demoting it into
+    a surface hit measured -5.6% whole-image, docs/PARITY.md). Hero-packet
+    MIS weights are computed afterwards (spectral_flight_weights).
     """
     n = ray_pos.shape[0]
     L = ext_rmo.shape[1]
@@ -876,7 +897,8 @@ def sample_interaction(
             atlas.clouds, "rmo", active, cfg,
         )
         if not cfg.enable_clouds:
-            return rmo_event, rmo_t, rmo_id
+            return (rmo_event, rmo_t, rmo_id,
+                    jnp.zeros((n,), jnp.int32), jnp.zeros((n,)))
         c_start, c_max = intersect_cloud_limits(ray_pos, ray_dir, land_isection)
         cloud_active = active & ((rmo_event == NULL_EVENT) | (rmo_t > c_start))
         cloud_ext = jnp.zeros((n, 4)).at[:, 3].set(ext_w)
@@ -890,14 +912,21 @@ def sample_interaction(
         event = jnp.where(take, c_event, rmo_event)
         t = jnp.where(take, c_t, rmo_t)
         iid = jnp.where(take, C.CLOUD_ID, rmo_id)
-        return event, t, iid
+        return event, t, iid, jnp.where(cloud_active, c_event, 0), c_t
 
     if cfg.enable_clouds:
         c_start, c_max = intersect_cloud_limits(ray_pos, ray_dir, land_isection)
-        c_event, c_t = _track_cloud(
-            k_cloud, ray_pos, ray_dir, c_start, c_max, ext_w,
-            max_ext_cloud, atlas.clouds, active, cfg, mode="delta",
-        )
+        if cfg.naive_cloud_tracking:
+            cloud_ext4 = jnp.zeros((n, 4)).at[:, 3].set(ext_w)
+            c_event, c_t, _ = tn.delta_track_naive(
+                k_cloud, ray_pos, ray_dir, c_start, c_max, cloud_ext4,
+                max_ext_cloud, atlas.clouds, "cloud", active, cfg,
+            )
+        else:
+            c_event, c_t = _track_cloud(
+                k_cloud, ray_pos, ray_dir, c_start, c_max, ext_w,
+                max_ext_cloud, atlas.clouds, active, cfg, mode="delta",
+            )
         # RMO tracking only needs to reach the cloud event (if any)
         rmo_cap = jnp.where(c_event > NULL_EVENT, jnp.minimum(t_max, c_t), t_max)
     else:
@@ -913,13 +942,14 @@ def sample_interaction(
             active, cfg,
         )
     if not cfg.enable_clouds:
-        return rmo_event, rmo_t, rmo_id
+        return (rmo_event, rmo_t, rmo_id,
+                jnp.zeros((n,), jnp.int32), jnp.zeros((n,)))
 
     take_cloud = (c_event > NULL_EVENT) & (rmo_event == NULL_EVENT)
     event = jnp.where(take_cloud, c_event, rmo_event)
     t = jnp.where(take_cloud, c_t, rmo_t)
     iid = jnp.where(take_cloud, C.CLOUD_ID, rmo_id)
-    return event, t, iid
+    return event, t, iid, c_event, c_t
 
 
 def sample_transmittance(
@@ -954,7 +984,7 @@ def sample_transmittance(
     if not cfg.enable_clouds:
         return trans
     c_start, c_max = intersect_cloud_limits(ray_pos, ray_dir, land_isection)
-    if cfg.naive_tracking:
+    if cfg.naive_tracking or cfg.naive_cloud_tracking:
         cloud_ext = jnp.zeros((n, 4)).at[:, 3].set(ext_w)
         cloud_trans = tn.ratio_track_naive(
             k_cloud, ray_pos, ray_dir, c_start, c_max, cloud_ext,
@@ -1139,7 +1169,11 @@ def run_bounces(
 
     light_direction = jnp.broadcast_to(scene.light_direction, (n, 3))
 
-    _march = tn.intersect_land_naive if cfg.naive_tracking else intersect_land
+    _march = (
+        tn.intersect_land_naive
+        if (cfg.naive_tracking or cfg.naive_march)
+        else intersect_land
+    )
 
     def cond(state):
         bounce = state[0]
@@ -1168,7 +1202,7 @@ def run_bounces(
             # trades march iterations for *more* tracking iterations on
             # exactly the grazing near-terrain lanes that set the pace.
             earth = _march(atlas.topography, pos, direction, scale, alive, cfg)
-            event, t_int, iid = sample_interaction(
+            event, t_int, iid, _, _ = sample_interaction(
                 rng.fold(kb, _SITE_FLIGHT), pos, direction, earth, ext_rmo,
                 ext_w, max_ext_rmo, max_ext_cloud, atlas, alive, cfg,
             )
@@ -1209,29 +1243,70 @@ def run_bounces(
             )
             base_near, _ = mu.rsi(pos, direction, C.PLANET_R)
             cap_proxy = jnp.where(base_near > 0.0, base_near, -1.0)
-            event, t_int, iid = sample_interaction(
-                rng.fold(kb, _SITE_FLIGHT), pos, direction, cap_proxy,
+            # Below-slab lanes (surface bounces under the cloud deck) march
+            # up front: they would march anyway (d_free ~ 0 at terrain),
+            # and the reference's below-ray cloud span is gated on the TRUE
+            # land hit (pathtracer.py:168: any land hit kills the span), so
+            # the proxy cap would mis-gate it.
+            below = r_len < C.CLOUDS_LOWER_LIMIT
+            pre = alive & below
+
+            earth_pre = jax.lax.cond(
+                jnp.any(pre),
+                lambda _: _march(
+                    atlas.topography, pos, direction, scale, pre, cfg
+                ),
+                lambda _: jnp.full((n,), -1.0),
+                None,
+            )
+            land_proxy = jnp.where(below, earth_pre, cap_proxy)
+            event, t_int, iid, c_event, c_t = sample_interaction(
+                rng.fold(kb, _SITE_FLIGHT), pos, direction, land_proxy,
                 ext_rmo, ext_w, max_ext_rmo, max_ext_cloud, atlas, alive,
                 cfg,
             )
-            need_march = alive & (
-                (event == NULL_EVENT) | (t_int > jnp.maximum(d_free, 0.0))
+            # cloud events never need the land hit: the reference's
+            # above/inside cloud spans ignore land entirely (reference
+            # pathtracer.py:145-166), so a cloud event stands no matter
+            # where the terrain is; only RMO events are capped by it.
+            need_march = alive & ~below & (
+                (event == NULL_EVENT)
+                | ((iid != C.CLOUD_ID) & (t_int > jnp.maximum(d_free, 0.0)))
             )
             t_cap = jnp.where(event > NULL_EVENT, t_int, 1e30)
 
             def do_march(_):
+                if cfg.naive_march:  # the naive march has no t_cap arg
+                    return _march(
+                        atlas.topography, pos, direction, scale, need_march,
+                        cfg,
+                    )
                 return _march(
                     atlas.topography, pos, direction, scale, need_march,
                     cfg, t_cap=t_cap,
                 )
 
-            earth = jax.lax.cond(
+            earth_post = jax.lax.cond(
                 jnp.any(need_march), do_march,
                 lambda _: jnp.full((n,), -1.0), None,
             )
-            # demote events sampled beyond the (now-known) land hit
-            demote = (event > NULL_EVENT) & (earth >= 0.0) & (earth <= t_int)
-            event = jnp.where(demote, NULL_EVENT, event)
+            earth = jnp.where(below, earth_pre, earth_post)
+            # Demote RMO events sampled beyond the (now-known) land hit —
+            # the reference caps its RMO span at the hit (pathtracer.py:
+            # 180-184) so those events do not exist there. If the cloud
+            # pass had its own event, it takes over (the reference's
+            # "nearer event wins" merge would have picked it since no RMO
+            # event precedes it there); else the lane is a surface hit.
+            demote = (
+                (event > NULL_EVENT) & (iid != C.CLOUD_ID)
+                & (earth >= 0.0) & (earth <= t_int)
+            )
+            resurrect = demote & (c_event > NULL_EVENT)
+            event = jnp.where(
+                demote, jnp.where(resurrect, c_event, NULL_EVENT), event
+            )
+            t_int = jnp.where(resurrect, c_t, t_int)
+            iid = jnp.where(resurrect, C.CLOUD_ID, iid)
 
         # hero-packet MIS weight of this bounce's flight outcome
         if L > 1:
@@ -1294,7 +1369,7 @@ def run_bounces(
                 luts.srgb2spec, albedo_srgb[:, None, :], wavelength
             )  # (n, L)
             offset_pos = land_pos * (1.0 + 0.0001 * scale / 12000.0)
-            if cfg.naive_tracking:
+            if cfg.naive_tracking or cfg.naive_march:
                 shadow_hit = _march(
                     atlas.topography, offset_pos, light_dir, scale, surface,
                     cfg,

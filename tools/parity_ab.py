@@ -66,19 +66,42 @@ def main():
     ap.add_argument("--batches", type=int, default=8, help="seed batches/arm")
     ap.add_argument("--block", type=int, default=20, help="block size (px)")
     ap.add_argument(
-        "--exclude-top-pct", type=float, default=0.5,
-        help="exclude this percent of brightest pixels (by the COMBINED "
-        "mean of both arms — symmetric, so zero-mean under H0) from the "
-        "frame-mean metric; sun-glint fireflies otherwise dominate the "
-        "frame mean's variance and destroy the test's power. The raw "
-        "(no-exclusion) numbers are reported alongside.",
+        "--clip-pct", type=float, default=99.9,
+        help="winsorize batch-pixel values at this pooled percentile of "
+        "|value| (same threshold for BOTH arms, so the clipped-mean "
+        "difference is zero-mean under H0). Sun-glint/spectral-edge "
+        "fireflies otherwise dominate the frame mean's variance and "
+        "destroy the test's power; the raw numbers stay reported.",
     )
     ap.add_argument("--state", default=None, help="checkpoint npz path")
     ap.add_argument("--json-out", default=None)
-    args = ap.parse_args()
-    state_path = args.state or os.path.join(
-        ROOT, f"parity_state_{args.scene}_{args.spp}spp.npz"
+    ap.add_argument(
+        "--accel", default="",
+        help="TraceConfig overrides for the ACCEL arm, e.g. "
+        "'naive_march=True,lazy_march=False' — bisects which accelerated "
+        "subsystem carries a bias by naive-ifying them one at a time",
     )
+    ap.add_argument(
+        "--base", default="naive_tracking=True",
+        help="TraceConfig overrides for the BASELINE arm (default: the "
+        "reference-faithful naive trackers). Override for accel-vs-accel "
+        "A/Bs, e.g. --base 'lazy_march=False'",
+    )
+    args = ap.parse_args()
+
+    def slug(s):
+        return "_" + s.replace("=", "").replace(",", "_") if s else ""
+
+    base = args.state or os.path.join(
+        ROOT, f"parity_state_{args.scene}_{args.spp}spp"
+    )
+    base = base[:-4] if base.endswith(".npz") else base
+    # baseline-arm state is shared across --accel bisections
+    ntag = (
+        slug(args.base) if args.base != "naive_tracking=True" else "_naive"
+    )
+    state_paths = {"accel": f"{base}{slug(args.accel)}_accel.npz",
+                   "naive": f"{base}{ntag}.npz"}
 
     from digital_earth_tpu.utils.cache import enable_compilation_cache
 
@@ -101,23 +124,30 @@ def main():
         procedural_resolution=(args.texture_res, 2 * args.texture_res)
     )
     config = load_config(os.path.join(ROOT, "scenes", SCENES[args.scene]))
+    accel_over = (
+        eval(f"dict({args.accel})") if args.accel else {}
+    )  # noqa: S307 — operator-supplied bisection overrides
+    base_over = eval(f"dict({args.base})") if args.base else {}  # noqa: S307
     cfgs = {
-        "accel": dataclasses.replace(TraceConfig(), hero_lambdas=1),
+        "accel": dataclasses.replace(
+            TraceConfig(), hero_lambdas=1, **accel_over
+        ),
         "naive": dataclasses.replace(
-            TraceConfig(), hero_lambdas=1, naive_tracking=True
+            TraceConfig(), hero_lambdas=1, **base_over
         ),
     }
 
-    # resumable per-batch frame store: {arm}_{batch} -> (W, H, 3) mean frame
-    store = {}
-    if os.path.exists(state_path):
-        with np.load(state_path) as z:
-            store = {k: z[k] for k in z.files}
-        print(f"resumed {len(store)} batches from {state_path}", flush=True)
-
+    # resumable per-arm per-batch frame store: {batch} -> (W, H, 3) mean
+    stores = {}
     for arm, cfg in cfgs.items():
+        state_path = state_paths[arm]
+        store = {}
+        if os.path.exists(state_path):
+            with np.load(state_path) as z:
+                store = {k: z[k] for k in z.files}
+            print(f"resumed {len(store)} {arm} batches", flush=True)
         for b in range(args.batches):
-            key = f"{arm}_{b}"
+            key = f"b{b}"
             if key in store:
                 continue
             t0 = time.time()
@@ -135,35 +165,46 @@ def main():
             np.savez_compressed(tmp, **store)
             os.replace(tmp, state_path)
             print(
-                f"{key}: {args.spp} spp in {time.time()-t0:.1f}s "
+                f"{arm}_{b}: {args.spp} spp in {time.time()-t0:.1f}s "
                 f"({args.width*args.height*args.spp/(time.time()-t0):.0f} "
                 "paths/s)",
                 flush=True,
             )
+        stores[arm] = store
 
-    A = np.stack([store[f"accel_{b}"] for b in range(args.batches)])
-    N = np.stack([store[f"naive_{b}"] for b in range(args.batches)])
+    A = np.stack([stores["accel"][f"b{b}"] for b in range(args.batches)])
+    N = np.stack([stores["naive"][f"b{b}"] for b in range(args.batches)])
     B = args.batches
 
     # headline: per-channel relative error of the frame mean + SE.
     # |mu_n| in denominators: single-wavelength XYZ->RGB samples are signed
     # (a saturated-λ firefly can push a barely-sampled channel negative), so
     # the convergence-relative scale is the magnitude.
-    def frame_stats(keep):
-        am = A[:, keep].mean(axis=1)  # (B, 3) per-batch frame means
-        nm = N[:, keep].mean(axis=1)
+    def frame_stats(Ax, Nx):
+        am = Ax.mean(axis=(1, 2))  # (B, 3) per-batch frame means
+        nm = Nx.mean(axis=(1, 2))
         mu_a, mu_n = am.mean(0), nm.mean(0)
         se = np.sqrt(am.var(0, ddof=1) / B + nm.var(0, ddof=1) / B)
         return (mu_a - mu_n) / np.abs(mu_n), se / np.abs(mu_n)
 
-    all_px = np.ones(A.shape[1:3], bool)
-    rel_err_raw, rel_floor_raw = frame_stats(all_px)
-    comb = 0.5 * (np.abs(A).mean(axis=(0, 3)) + np.abs(N).mean(axis=(0, 3)))
-    if args.exclude_top_pct > 0:
-        keep = comb <= np.percentile(comb, 100 - args.exclude_top_pct)
+    rel_err_raw, rel_floor_raw = frame_stats(A, N)
+    if args.clip_pct < 100.0:
+        thr = np.percentile(
+            np.abs(np.concatenate([A, N])), args.clip_pct, axis=(0, 1, 2)
+        )  # (3,) pooled per-channel winsorization threshold
+        Ac = np.clip(A, -thr, thr)
+        Nc = np.clip(N, -thr, thr)
     else:
-        keep = all_px
-    rel_err, rel_floor = frame_stats(keep)
+        Ac, Nc = A, N
+    rel_err, rel_floor = frame_stats(Ac, Nc)
+    # luminance channel: the CIE sampling pdf tracks the luminosity curve,
+    # so Y-weighted values have far lighter spectral-edge tails than X/Z —
+    # the highest-power single statistic
+    w_lum = np.array([0.2126729, 0.7151522, 0.0721750])
+    lum_err, lum_floor = frame_stats(
+        (Ac * w_lum).sum(-1, keepdims=True),
+        (Nc * w_lum).sum(-1, keepdims=True),
+    )
 
     # spatial z-scores over blocks; relative diffs are luminance-relative
     # (per-channel block means can sit near zero)
@@ -185,13 +226,16 @@ def main():
 
     result = {
         "scene": args.scene,
+        "accel_overrides": args.accel,
         "resolution": [W, H],
         "spp_per_batch": args.spp,
         "batches": B,
         "total_spp_per_arm": args.spp * B,
         "rel_err_pct": [round(100 * float(x), 4) for x in rel_err],
         "noise_floor_pct": [round(100 * float(x), 4) for x in rel_floor],
-        "excluded_top_pct": args.exclude_top_pct,
+        "clip_pct": args.clip_pct,
+        "lum_rel_err_pct": round(100 * float(lum_err[0]), 4),
+        "lum_noise_floor_pct": round(100 * float(lum_floor[0]), 4),
         "rel_err_raw_pct": [round(100 * float(x), 4) for x in rel_err_raw],
         "noise_floor_raw_pct": [
             round(100 * float(x), 4) for x in rel_floor_raw
