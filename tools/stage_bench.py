@@ -66,6 +66,12 @@ def main():
         "ce24": {"compact_every": 24},
         "ce6_ct64k": {"compact_every": 6, "compact_tile": 65536},
         "ce6_crr6": {"compact_every": 6, "cloud_rr_keep": 0.6},
+        # march-floor fidelity/perf frontier (docs/PARITY.md round 3):
+        # 0.02 is the measured-unbiased default; what does it cost?
+        "floor25": {"march_floor_frac": 0.25},
+        "floor10": {"march_floor_frac": 0.10},
+        "floor05": {"march_floor_frac": 0.05},
+        "floor02": {"march_floor_frac": 0.02},
     }
 
     for name in args.variants.split(","):
