@@ -18,7 +18,6 @@ chain), ``reset_framebuffer()``. Differences by design:
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Optional, Tuple
 
@@ -35,7 +34,6 @@ from . import film
 from .camera import CameraParams, cast_dirs
 from .params import SceneParams, TraceConfig, make_scene_params
 from . import pathtracer as pt
-from .pathtracer import trace_paths
 
 # Frame-level RNG sites (folded into per-lane pixel keys; disjoint from the
 # pathtracer's per-bounce site ids by construction — different chain depth —

@@ -20,7 +20,6 @@ from .. import constants as C
 from ..models import volume as vol
 from ..ops import math_utils as mu
 from ..ops import rng
-from ..ops import texture as tx
 
 NULL_EVENT = 0
 ABSORB_EVENT = 1
