@@ -91,10 +91,9 @@ def make_sharded_render_step(
     def shard_fn(base_key, spp0, color_buffer, cam, scene, atlas, luts):
         px_idx = jax.lax.axis_index("px")
         spp_idx = jax.lax.axis_index("spp")
-        spp_key = jax.random.fold_in(base_key, spp0 + spp_idx)
         rgb = _trace_tile_range(
-            spp_key, cam, scene, atlas, luts, image_res, block, cfg,
-            px_idx * tiles_per_dev, tiles_per_dev,
+            base_key, spp0 + spp_idx, cam, scene, atlas, luts, image_res,
+            block, cfg, px_idx * tiles_per_dev, tiles_per_dev,
         )
         if n_spp > 1:
             # merge the spp batches over ICI; pixels stay sharded

@@ -90,6 +90,14 @@ class TraceConfig:
     # 4 amortizes the path's geometry/tracking over 4 spectral samples,
     # collapsing chroma noise for ~1.2x the cost.
     hero_lambdas: int = 4
+    # Stratify the per-pixel primary dimensions (subpixel jitter u/v, hero
+    # wavelength u) across spp with an R3 low-discrepancy sequence under a
+    # per-pixel Cranley-Patterson rotation: each pixel's spp sequence is a
+    # randomized QMC point set (unbiased; the rotation is the randomizer),
+    # so texture/spectral noise integrates ~O(1/N) instead of O(1/sqrt N)
+    # on smooth regions. Deeper path dimensions stay independent. False =
+    # the reference's independent-uniform jitter.
+    stratify_spp: bool = True
     # NEE transmittance through the RMO gases from the precomputed
     # density-integral table (models/atmosphere_lut.py): exact closed form,
     # zero variance, no tracking loop. False falls back to ratio tracking

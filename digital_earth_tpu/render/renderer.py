@@ -40,6 +40,17 @@ from . import pathtracer as pt
 # and kept out of the bounce-index range anyway).
 _SITE_JITTER = 101
 _SITE_WL = 102
+# spp-free pixel key domain for the Cranley-Patterson rotations of the
+# stratified primary dimensions (cfg.stratify_spp)
+_PIXEL_DOMAIN = 0x70697865
+# R3 low-discrepancy sequence step (inverse powers of the plastic constant,
+# Roberts 2018): x_n = frac(alpha * n), jointly low-discrepancy in 3D.
+# Stored as 32-bit fixed point so frac() is exact uint32 wraparound at any
+# spp (float32 alpha*n loses the fractional part past n ~ 1e5).
+_R3_G = 1.2207440846057596
+_R3_A32 = tuple(
+    int(round((1.0 / _R3_G**i % 1.0) * 2**32)) & 0xFFFFFFFF for i in (1, 2, 3)
+)
 
 
 def _pick_block_dims(w: int, h: int, target: int) -> Tuple[int, int]:
@@ -112,7 +123,7 @@ def _stage_bounds(cfg: TraceConfig):
 
 
 def _trace_tile_range(
-    key, cam: CameraParams, scene: SceneParams, atlas, luts,
+    base_key, spp, cam: CameraParams, scene: SceneParams, atlas, luts,
     image_res: Tuple[int, int], block: Tuple[int, int], cfg: TraceConfig,
     tile0, n_tiles_range: int, mode: str = "path",
 ):
@@ -143,6 +154,8 @@ def _trace_tile_range(
     nbx, nby = w // bw, h // bh
     n_tiles = n_tiles_range
     stages = _stage_bounds(cfg)
+    spp = jnp.asarray(spp, jnp.int32)
+    spp_key = jax.random.fold_in(base_key, spp)
 
     def render_tile(tile_idx):
         """Ray gen + spectral sampling + stage-1 bounces (+ miss shading).
@@ -155,13 +168,28 @@ def _trace_tile_range(
         lane = jnp.arange(tile)
         pu_i = bx * bw + lane // bh
         pv_i = by * bh + lane % bh
-        lkeys = rng.lane_keys(key, pu_i * h + pv_i)  # global pixel id
+        pid = pu_i * h + pv_i  # global pixel id
+        lkeys = rng.lane_keys(spp_key, pid)
         pu = pu_i.astype(jnp.float32)
         pv = pv_i.astype(jnp.float32)
-        u_jit = rng.uniform(rng.fold(lkeys, _SITE_JITTER), (2,))  # (2, n)
+        if cfg.stratify_spp:
+            # randomized-QMC primary dims: per-pixel Cranley-Patterson
+            # shift (spp-free key) + R3 sequence point for this spp
+            pkeys = rng.lane_keys(
+                jax.random.fold_in(base_key, _PIXEL_DOMAIN), pid
+            )
+            shift = rng.uniform(rng.fold(pkeys, _SITE_JITTER), (3,))
+            seq = (
+                jnp.asarray(_R3_A32, jnp.uint32)
+                * (spp + 1).astype(jnp.uint32)
+            ).astype(jnp.float32) * jnp.float32(2.0**-32)
+            u3 = jnp.mod(shift + seq[:, None], 1.0)  # (3, n)
+            u_jit, u = u3[:2], u3[2]
+        else:
+            u_jit = rng.uniform(rng.fold(lkeys, _SITE_JITTER), (2,))
+            u = rng.uniform(rng.fold(lkeys, _SITE_WL))
         dirs = cast_dirs(cam, pu, pv, u_jit[0], u_jit[1], image_res)
         pos = jnp.broadcast_to(cam.position, (tile, 3))
-        u = rng.uniform(rng.fold(lkeys, _SITE_WL))
         if mode == "preview":
             from .raymarcher import march_paths
 
@@ -169,7 +197,7 @@ def _trace_tile_range(
                 u, luts.cie_cdf, luts.cie_response
             )
             radiance = march_paths(
-                jax.random.fold_in(key, tile_idx), pos, dirs, wavelength,
+                jax.random.fold_in(spp_key, tile_idx), pos, dirs, wavelength,
                 scene, atlas, luts, cfg,
             )
             xyz = radiance[:, None] * response * rcp_pdf[:, None]
@@ -271,7 +299,8 @@ def _trace_tile_range(
     donate_argnames=("color_buffer",),
 )
 def _render_step(
-    key, color_buffer, cam: CameraParams, scene: SceneParams, atlas, luts,
+    base_key, spp, color_buffer, cam: CameraParams, scene: SceneParams,
+    atlas, luts,
     image_res: Tuple[int, int], block: Tuple[int, int], cfg: TraceConfig,
     mode: str = "path",
 ):
@@ -286,8 +315,8 @@ def _render_step(
     nbx, nby = w // bw, h // bh
     n_tiles = nbx * nby
     rgb = _trace_tile_range(
-        key, cam, scene, atlas, luts, image_res, block, cfg, 0, n_tiles,
-        mode,
+        base_key, spp, cam, scene, atlas, luts, image_res, block, cfg, 0,
+        n_tiles, mode,
     )
     # (nbx*nby, bw*bh, 3) -> (W, H, 3)
     frame = (
@@ -304,7 +333,8 @@ def _render_step(
     donate_argnames=("staging",),
 )
 def _render_chunk(
-    key, staging, cam: CameraParams, scene: SceneParams, atlas, luts, tile0,
+    base_key, spp, staging, cam: CameraParams, scene: SceneParams, atlas,
+    luts, tile0,
     image_res: Tuple[int, int], block: Tuple[int, int], cfg: TraceConfig,
     n_chunk_tiles: int, mode: str = "path",
 ):
@@ -316,8 +346,8 @@ def _render_chunk(
     Per-lane pixel-keyed RNG (ops/rng.py) makes the chunked spp
     bit-identical to the unchunked one."""
     rgb = _trace_tile_range(
-        key, cam, scene, atlas, luts, image_res, block, cfg, tile0,
-        n_chunk_tiles, mode,
+        base_key, spp, cam, scene, atlas, luts, image_res, block, cfg,
+        tile0, n_chunk_tiles, mode,
     )
     tile = block[0] * block[1]
     return jax.lax.dynamic_update_slice(staging, rgb, (tile0 * tile, 0))
@@ -454,12 +484,12 @@ class Renderer:
 
     def accumulate(self):
         """Trace one sample per pixel into the accumulation buffer."""
-        key = jax.random.fold_in(self._base_key, self.current_spp)
+        spp = jnp.asarray(self.current_spp, jnp.int32)
         if self._step is None:
-            self._step = self._resolve_step(key)
+            self._step = self._resolve_step(spp)
         self.color_buffer = self._step(
-            key, self.color_buffer, self._camera_params(), self._scene_params(),
-            self.atlas, self.luts,
+            self._base_key, spp, self.color_buffer, self._camera_params(),
+            self._scene_params(), self.atlas, self.luts,
         )
         self.current_spp += 1
 
@@ -481,13 +511,13 @@ class Renderer:
             default=1,
         )
         per = n_tiles // n_chunks
-        key = jax.random.fold_in(self._base_key, self.current_spp)
+        spp = jnp.asarray(self.current_spp, jnp.int32)
         cam, scene = self._camera_params(), self._scene_params()
         staging = jnp.zeros((n_tiles * self.tile, 3), dtype=jnp.float32)
         for c in range(n_chunks):
             staging = _render_chunk(
-                key, staging, cam, scene, self.atlas, self.luts,
-                jnp.asarray(c * per, jnp.int32),
+                self._base_key, spp, staging, cam, scene, self.atlas,
+                self.luts, jnp.asarray(c * per, jnp.int32),
                 image_res=self.image_res, block=self.block, cfg=self.cfg,
                 n_chunk_tiles=per, mode=self.mode,
             )
@@ -501,7 +531,7 @@ class Renderer:
         self.current_spp += 1
         return True
 
-    def _resolve_step(self, key):
+    def _resolve_step(self, spp):
         """Bind the static render-step arguments and route through the AOT
         trace cache (utils/cache.aot_cached): a warm process deserializes the
         exported StableHLO instead of re-tracing the ~90 s 1080p graph."""
@@ -512,12 +542,12 @@ class Renderer:
             mode=self.mode,
         )
 
-        def bound_step(key, color_buffer, cam, scene, atlas, luts):
-            return _render_step(key, color_buffer, cam, scene, atlas, luts,
-                                **statics)
+        def bound_step(base_key, spp, color_buffer, cam, scene, atlas, luts):
+            return _render_step(base_key, spp, color_buffer, cam, scene,
+                                atlas, luts, **statics)
 
         example = (
-            key, self.color_buffer, self._camera_params(),
+            self._base_key, spp, self.color_buffer, self._camera_params(),
             self._scene_params(), self.atlas, self.luts,
         )
         return aot_cached(
