@@ -184,7 +184,9 @@ def main():
         am = Ax.mean(axis=(1, 2))  # (B, 3) per-batch frame means
         nm = Nx.mean(axis=(1, 2))
         mu_a, mu_n = am.mean(0), nm.mean(0)
-        se = np.sqrt(am.var(0, ddof=1) / B + nm.var(0, ddof=1) / B)
+        se = np.sqrt(
+            am.var(0, ddof=1) / am.shape[0] + nm.var(0, ddof=1) / nm.shape[0]
+        )
         return (mu_a - mu_n) / np.abs(mu_n), se / np.abs(mu_n)
 
     rel_err_raw, rel_floor_raw = frame_stats(A, N)
@@ -197,6 +199,11 @@ def main():
     else:
         Ac, Nc = A, N
     rel_err, rel_floor = frame_stats(Ac, Nc)
+    # instrument calibration: a split-half NULL of the baseline arm (even
+    # vs odd batches) measures the practical resolution — heavy-tailed
+    # single-wavelength samples make the empirical SE an underestimate, so
+    # a "signal" is only actionable when it clears the null's scale too
+    null_err, null_floor = frame_stats(Nc[0::2], Nc[1::2])
     # luminance channel: the CIE sampling pdf tracks the luminosity curve,
     # so Y-weighted values have far lighter spectral-edge tails than X/Z —
     # the highest-power single statistic
@@ -236,6 +243,12 @@ def main():
         "clip_pct": args.clip_pct,
         "lum_rel_err_pct": round(100 * float(lum_err[0]), 4),
         "lum_noise_floor_pct": round(100 * float(lum_floor[0]), 4),
+        "null_split_half_err_pct": [
+            round(100 * float(x), 4) for x in null_err
+        ],
+        "null_split_half_floor_pct": [
+            round(100 * float(x), 4) for x in null_floor
+        ],
         "rel_err_raw_pct": [round(100 * float(x), 4) for x in rel_err_raw],
         "noise_floor_raw_pct": [
             round(100 * float(x), 4) for x in rel_floor_raw
