@@ -12,6 +12,7 @@ that proxy.
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -48,6 +49,11 @@ def main():
     from digital_earth_tpu.render.renderer import Renderer
     from digital_earth_tpu.utils.cache import enable_compilation_cache
 
+    if os.environ.get("DE_FORCE_CPU"):
+        # local smoke runs; config.update wins over the TPU plugin's env,
+        # and must land before anything initializes the backend (the
+        # compilation-cache signature reads jax.default_backend())
+        jax.config.update("jax_platforms", "cpu")
     enable_compilation_cache()
 
     def measure(texture_res):
