@@ -169,6 +169,14 @@ class MultiChipRenderer(Renderer):
         self.accumulate()
         return True
 
+    def accumulate_adaptive(self, *args, **kwargs):
+        raise NotImplementedError(
+            "adaptive tile sampling is a single-chip Renderer feature for "
+            "now (the sharded step renders fixed per-device tile ranges; "
+            "per-device adaptive selection needs a gather of the sharded "
+            "variance buffers)"
+        )
+
     def _assembled_buffer(self):
         """Undo the tile-major block interleave -> (W, H, 3), on device."""
         w, h = self.image_res

@@ -125,7 +125,7 @@ def _stage_bounds(cfg: TraceConfig):
 def _trace_tile_range(
     base_key, spp, cam: CameraParams, scene: SceneParams, atlas, luts,
     image_res: Tuple[int, int], block: Tuple[int, int], cfg: TraceConfig,
-    tile0, n_tiles_range: int, mode: str = "path",
+    tile0, n_tiles_range: int, mode: str = "path", tile_ids=None,
 ):
     """Render the pixel blocks [tile0, tile0 + n_tiles_range): stage-1
     bounces per spatially-coherent (bw, bh) block, then compacted tail
@@ -214,7 +214,8 @@ def _trace_tile_range(
         st = pt.shade_primary_miss(st, scene, atlas, luts, cfg)
         return responses, st
 
-    tile_ids = tile0 + jnp.arange(n_tiles)
+    if tile_ids is None:
+        tile_ids = tile0 + jnp.arange(n_tiles)
     if mode == "preview":
         return jax.lax.map(
             lambda i: render_tile(i)[0], tile_ids
@@ -366,6 +367,94 @@ def _merge_staging(color_buffer, staging, image_res, block):
     return color_buffer + frame
 
 
+@partial(jax.jit, static_argnames=("image_res", "block", "k"))
+def _select_tiles(
+    color_buffer, count_buffer, lum2_buffer, image_res, block, k: int,
+):
+    """Pick the ``k`` pixel blocks with the highest estimated relative
+    error of their current mean: per pixel, Var[mean] ~ (E[l^2] - E[l]^2)/n
+    over the n samples drawn so far, normalized by (mean luminance + eps)^2
+    so dark pixels compete fairly with bright ones; per tile, the score is
+    the pixel average. Never-sampled tiles score +inf.
+
+    The selection drives the adaptive accumulate (fewer paths to the same
+    image — the variance-reduction route of docs/PERFORMANCE.md's ceiling
+    analysis; the reference's commented-out adaptive-spp controller,
+    earth_viewer.py:253-257, adapted the FRAME's spp count, never the
+    spatial distribution)."""
+    w, h = image_res
+    bw, bh = block
+    nbx, nby = w // bw, h // bh
+    n = jnp.maximum(count_buffer, 1.0)
+    mean_lum = sp.lum(color_buffer) / n
+    var_mean = jnp.maximum(lum2_buffer / n - mean_lum**2, 0.0) / n
+    m_bar = jnp.mean(mean_lum)
+    # mid-gray anchor: bright pixels resolve by RELATIVE error, dark ones
+    # by absolute error against ~1/5 of the frame mean — matching how the
+    # display transform compresses brightness (pure relative normalization
+    # lets near-black pixels' tiny denominators dominate the ranking)
+    anchor = 0.2 * m_bar + 1e-20
+    # exploration optimism: a pixel whose few samples all came back (near)
+    # zero reads as zero-variance and would otherwise starve forever, yet
+    # deep-shadow pixels lit by RARE paths are exactly the noisiest
+    # content. Pretend an undiscovered fifth-of-frame-mean contribution
+    # could arrive with probability ~1/n: an O(1/n^2) additive variance
+    # floor that decays quadratically as a tile accumulates real evidence
+    # (the 0.2 scale keeps early exploration below typical content scores
+    # so genuinely noisy tiles still win the first rounds).
+    explore = (0.2 * m_bar) ** 2 / n**2
+    score = (var_mean + explore) / (mean_lum + anchor) ** 2
+    score = jnp.where(count_buffer < 1.0, jnp.inf, score)
+    tile_score = (
+        score.reshape(nbx, bw, nby, bh).mean(axis=(1, 3)).reshape(-1)
+    )  # (nbx*nby,) in bx-major order = tile_idx order
+    _, ids = jax.lax.top_k(tile_score, k)
+    return ids.astype(jnp.int32)
+
+
+def _tile_pixel_coords(tile_ids, image_res, block):
+    """Global (pu, pv) integer coords for every lane of every tile in
+    ``tile_ids``, in the tile-major lane order _trace_tile_range returns."""
+    w, h = image_res
+    bw, bh = block
+    nby = h // bh
+    lane = jnp.arange(bw * bh)
+    bx = tile_ids[:, None] // nby
+    by = tile_ids[:, None] % nby
+    pu = bx * bw + lane[None, :] // bh
+    pv = by * bh + lane[None, :] % bh
+    return pu.reshape(-1), pv.reshape(-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("image_res", "block", "cfg", "k", "mode"),
+    donate_argnames=("color_buffer", "count_buffer", "lum2_buffer"),
+)
+def _render_selected(
+    base_key, rng_round, color_buffer, count_buffer, lum2_buffer, tile_ids,
+    cam: CameraParams, scene: SceneParams, atlas, luts,
+    image_res: Tuple[int, int], block: Tuple[int, int], cfg: TraceConfig,
+    k: int, mode: str = "path",
+):
+    """Trace one sample per pixel of the ``k`` selected blocks and
+    scatter-add into the per-pixel (sum, count, sum-lum^2) buffers. Uses the
+    same per-lane (rng_round, global pixel id) keying as _render_step, so a
+    pixel's sample for a given round is bit-identical whether it arrives via
+    a uniform or an adaptive pass."""
+    rgb = _trace_tile_range(
+        base_key, rng_round, cam, scene, atlas, luts, image_res, block, cfg,
+        0, k, mode, tile_ids=tile_ids,
+    )
+    pu, pv = _tile_pixel_coords(tile_ids, image_res, block)
+    lum = sp.lum(rgb)
+    return (
+        color_buffer.at[pu, pv].add(rgb),
+        count_buffer.at[pu, pv].add(1.0),
+        lum2_buffer.at[pu, pv].add(lum * lum),
+    )
+
+
 @partial(jax.jit, static_argnames=("image_res", "drt"))
 def _postprocess(
     color_buffer, spp, exposure, gamma, crf_curves, crf_index,
@@ -426,6 +515,16 @@ class Renderer:
             (image_res[0], image_res[1], 3), dtype=jnp.float32
         )
         self._step = None  # resolved on first accumulate (AOT trace cache)
+        # Adaptive-sampling state (accumulate_adaptive): per-pixel sample
+        # counts and sum of squared sample luminance; None until the first
+        # adaptive pass. _rng_round is the global RNG round counter shared
+        # by uniform and adaptive passes (== current_spp when only
+        # accumulate() is used, keeping uniform rendering bit-identical).
+        self.count_buffer = None
+        self.lum2_buffer = None
+        self.total_samples = 0
+        self._rng_round = 0
+        self._adaptive_rounds = 0
 
     # --- setters (reference renderer.py:224-266) -------------------------
     def set_camera_pos(self, x, y, z):
@@ -481,17 +580,87 @@ class Renderer:
     def reset_framebuffer(self):
         self.current_spp = 0
         self.color_buffer = jnp.zeros_like(self.color_buffer)
+        self.total_samples = 0
+        self._rng_round = 0
+        self._adaptive_rounds = 0
+        if self.count_buffer is not None:
+            self.count_buffer = jnp.zeros_like(self.count_buffer)
+            self.lum2_buffer = jnp.zeros_like(self.lum2_buffer)
 
     def accumulate(self):
         """Trace one sample per pixel into the accumulation buffer."""
-        spp = jnp.asarray(self.current_spp, jnp.int32)
+        if self.count_buffer is not None:
+            # adaptive bookkeeping is live: a uniform pass must keep the
+            # per-pixel counts/variance right, so route through it
+            self.accumulate_adaptive(frac=1.0)
+            return
+        rnd = jnp.asarray(self._rng_round, jnp.int32)
         if self._step is None:
-            self._step = self._resolve_step(spp)
+            self._step = self._resolve_step(rnd)
         self.color_buffer = self._step(
-            self._base_key, spp, self.color_buffer, self._camera_params(),
+            self._base_key, rnd, self.color_buffer, self._camera_params(),
             self._scene_params(), self.atlas, self.luts,
         )
         self.current_spp += 1
+        self._rng_round += 1
+        self.total_samples += self.image_res[0] * self.image_res[1]
+
+    def accumulate_adaptive(self, frac: float = 0.25, min_warmup: int = 2):
+        """One adaptive pass: the top ``frac`` fraction of pixel blocks by
+        estimated relative variance of their current mean each receive one
+        more sample per pixel (_select_tiles). The first ``min_warmup``
+        passes (and any pass with ``frac >= 1``) sample every block while
+        priming the variance estimate.
+
+        Pixel estimates stay unbiased: each pixel's value is the mean of
+        its own samples (fetch_image divides by the per-pixel count), and
+        sample round keys don't depend on the selection. The standard
+        progressive-adaptive caveat applies: the number of samples a pixel
+        receives depends on its earlier samples (a stopping-time effect,
+        negligible at the warm-up depths used here and shared by every
+        production adaptive sampler); tools/adaptive_bench.py measures the
+        end-to-end error-vs-budget win."""
+        w, h = self.image_res
+        if self.count_buffer is None:
+            if self.current_spp:
+                raise ValueError(
+                    "adaptive accumulation must start from a reset "
+                    "framebuffer (per-pixel counts for the earlier uniform "
+                    "passes were not tracked)"
+                )
+            self.count_buffer = jnp.zeros((w, h), dtype=jnp.float32)
+            self.lum2_buffer = jnp.zeros((w, h), dtype=jnp.float32)
+        bw, bh = self.block
+        n_tiles = (w // bw) * (h // bh)
+        uniform = self._adaptive_rounds < min_warmup or frac >= 1.0
+        k = n_tiles if uniform else max(1, int(n_tiles * frac))
+        if k >= n_tiles:
+            tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+            k = n_tiles
+        else:
+            tile_ids = _select_tiles(
+                self.color_buffer, self.count_buffer, self.lum2_buffer,
+                self.image_res, self.block, k,
+            )
+        self.color_buffer, self.count_buffer, self.lum2_buffer = (
+            _render_selected(
+                self._base_key, jnp.asarray(self._rng_round, jnp.int32),
+                self.color_buffer, self.count_buffer, self.lum2_buffer,
+                tile_ids, self._camera_params(), self._scene_params(),
+                self.atlas, self.luts, image_res=self.image_res,
+                block=self.block, cfg=self.cfg, k=k, mode=self.mode,
+            )
+        )
+        self._rng_round += 1
+        self._adaptive_rounds += 1
+        self.total_samples += k * self.tile
+        if uniform:
+            self.current_spp += 1
+
+    @property
+    def mean_spp(self) -> float:
+        """Average samples per pixel (== current_spp for uniform-only)."""
+        return self.total_samples / (self.image_res[0] * self.image_res[1])
 
     def accumulate_interruptible(self, n_chunks: int, interrupt=None) -> bool:
         """Trace one spp in ~``n_chunks`` pixel-block chunks, calling
@@ -511,7 +680,12 @@ class Renderer:
             default=1,
         )
         per = n_tiles // n_chunks
-        spp = jnp.asarray(self.current_spp, jnp.int32)
+        if self.count_buffer is not None:
+            raise ValueError(
+                "interruptible accumulation does not track the adaptive "
+                "per-pixel counts; use accumulate_adaptive or reset first"
+            )
+        spp = jnp.asarray(self._rng_round, jnp.int32)
         cam, scene = self._camera_params(), self._scene_params()
         staging = jnp.zeros((n_tiles * self.tile, 3), dtype=jnp.float32)
         for c in range(n_chunks):
@@ -529,6 +703,8 @@ class Renderer:
             self.color_buffer, staging, self.image_res, self.block
         )
         self.current_spp += 1
+        self._rng_round += 1
+        self.total_samples += w * h
         return True
 
     def _resolve_step(self, spp):
@@ -556,9 +732,14 @@ class Renderer:
 
     def fetch_image(self):
         """Post-process the accumulation buffer; returns (W, H, 3) float sRGB."""
+        spp_arg = (
+            self.count_buffer[..., None]
+            if self.count_buffer is not None
+            else jnp.asarray(self.current_spp, dtype=jnp.float32)
+        )
         return _postprocess(
             self.color_buffer,
-            jnp.asarray(self.current_spp, dtype=jnp.float32),
+            spp_arg,
             jnp.asarray(self.exposure, dtype=jnp.float32),
             jnp.asarray(self.gamma, dtype=jnp.float32),
             self.crf.curves,
@@ -575,12 +756,23 @@ class Renderer:
 
     # --- render-state checkpointing (capability noted in SURVEY.md §5) ------
     def save_checkpoint(self, path: str):
-        """Serialize the resumable render state (accumulation buffer + spp)."""
+        """Serialize the resumable render state (accumulation buffer + spp,
+        plus the adaptive per-pixel bookkeeping when live)."""
+        extra = {}
+        if self.count_buffer is not None:
+            extra = dict(
+                count_buffer=np.asarray(self.count_buffer),
+                lum2_buffer=np.asarray(self.lum2_buffer),
+            )
         np.savez_compressed(
             path,
             color_buffer=np.asarray(self.color_buffer),
             current_spp=self.current_spp,
             seed_key=np.asarray(self._base_key),
+            rng_round=self._rng_round,
+            adaptive_rounds=self._adaptive_rounds,
+            total_samples=self.total_samples,
+            **extra,
         )
 
     def load_checkpoint(self, path: str):
@@ -588,3 +780,20 @@ class Renderer:
             self.color_buffer = jnp.asarray(z["color_buffer"])
             self.current_spp = int(z["current_spp"])
             self._base_key = jnp.asarray(z["seed_key"], dtype=jnp.uint32)
+            # pre-adaptive checkpoints carry no round counters
+            self._rng_round = int(z["rng_round"]) if "rng_round" in z else (
+                self.current_spp
+            )
+            self._adaptive_rounds = (
+                int(z["adaptive_rounds"]) if "adaptive_rounds" in z else 0
+            )
+            self.total_samples = (
+                int(z["total_samples"]) if "total_samples" in z
+                else self.current_spp * self.image_res[0] * self.image_res[1]
+            )
+            if "count_buffer" in z:
+                self.count_buffer = jnp.asarray(z["count_buffer"])
+                self.lum2_buffer = jnp.asarray(z["lum2_buffer"])
+            else:
+                self.count_buffer = None
+                self.lum2_buffer = None

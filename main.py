@@ -4,6 +4,10 @@
 ``--multichip`` renders over every available chip via the ("px", "spp")
 device mesh (parallel/mesh.py) — same image bit for bit, one accumulate
 adds one spp per "spp"-axis device.
+
+``--adaptive`` switches idle progression to adaptive tile sampling: each
+pass refines only the noisiest quarter of pixel blocks, so visible noise
+converges faster for the same chip time (single-chip only).
 """
 
 import sys
@@ -26,4 +30,5 @@ if __name__ == "__main__":
         )
         EarthViewer(renderer=renderer).start()
     else:
-        EarthViewer(image_res=image_res).start()
+        adaptive = 0.25 if "--adaptive" in sys.argv else 0.0
+        EarthViewer(image_res=image_res, adaptive_frac=adaptive).start()

@@ -202,3 +202,65 @@ class TestProgressiveEscalation:
         png = esc_viewer._frame_png()
         img = Image.open(_io.BytesIO(png))
         assert img.size == (32, 18)
+
+
+class AdaptiveStubRenderer(StubRenderer):
+    """Stub with the adaptive accumulate surface."""
+
+    def __init__(self, image_res=(16, 9)):
+        super().__init__(image_res)
+        self.total_samples = 0
+        self.count_buffer = None
+        self.adaptive_calls = 0
+
+    def accumulate_adaptive(self, frac=0.25, min_warmup=2):
+        import numpy as _np
+
+        if self.count_buffer is None:
+            self.count_buffer = _np.zeros(self.image_res, dtype=_np.float32)
+        self.adaptive_calls += 1
+        n_px = self.image_res[0] * self.image_res[1]
+        self.total_samples += int(n_px * min(frac, 1.0))
+        self.current_spp += 1
+        time.sleep(0.001)
+
+    @property
+    def mean_spp(self):
+        return self.total_samples / (self.image_res[0] * self.image_res[1])
+
+
+class TestAdaptiveViewer:
+    @pytest.fixture()
+    def ada_viewer(self, tmp_path):
+        v = EarthViewer(
+            renderer=AdaptiveStubRenderer(),
+            config_path=str(tmp_path / "config.txt"),
+            screenshot_dir=str(tmp_path / "shots"),
+            port=0,
+            adaptive_frac=0.25,
+        )
+        v._running = True
+        t = threading.Thread(target=v._render_loop, daemon=True)
+        t.start()
+        server = v.make_server(host="127.0.0.1", port=0)
+        st = threading.Thread(target=server.serve_forever, daemon=True)
+        st.start()
+        v._test_port = server.server_address[1]
+        yield v
+        v._running = False
+        server.shutdown()
+
+    def test_idle_loop_uses_adaptive_passes(self, ada_viewer):
+        time.sleep(0.3)
+        assert ada_viewer.renderer.adaptive_calls > 0
+        # striping is disabled under adaptive (counts aren't tracked there)
+        assert ada_viewer.spp_chunks == 1
+
+    def test_state_reports_mean_spp(self, ada_viewer):
+        time.sleep(0.3)
+        with _get(ada_viewer, "/state") as r:
+            s = json.loads(r.read())
+        assert s["spp"] == pytest.approx(
+            ada_viewer.renderer.mean_spp, abs=0.5
+        )
+        assert s["paths_per_sec"] > 0
