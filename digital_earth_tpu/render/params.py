@@ -165,3 +165,8 @@ class TraceConfig:
     compact_after: int = 1
     compact_every: int = 6
     compact_tile: int = 32768
+    # DIAGNOSTIC ONLY (biased-dark): skip next-event estimation entirely —
+    # no sun cone sampling, no NEE transmittance tracking, no shadow march.
+    # Sizes the NEE share of a frame for the perf decomposition in
+    # docs/PERFORMANCE.md; never enabled in a shipping path.
+    nee_off: bool = False
