@@ -1,13 +1,25 @@
 #!/usr/bin/env python
 """Benchmark: paths/sec on the Apollo-11 scene at 1080p (BASELINE.json metric).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Emission order is timeout-proof (VERDICT r3 item 1): the cheap reduced-
+texture measurement runs FIRST and its JSON line is printed and flushed
+immediately, then the tier-2-texture-scale headline line is printed — so a
+run killed mid-way still leaves one parseable JSON line as the last line of
+output. A ``--budget-s`` wall-clock budget degrades the tier-2 measurement
+(fewer timed spp, or skip) instead of dying.
 
 Baseline proxy: the reference (Taichi/Vulkan on an RTX 3070) publishes no
 numbers (BASELINE.md); its commented-out adaptive-spp controller targeted
 30 FPS at 1 spp / 1920x1080 (reference earth_viewer.py:13,253-257), i.e.
 1920*1080*30 = 62.2M paths/s. vs_baseline is measured paths/s divided by
 that proxy.
+
+The tier-2 texture set (the reference's default 21600x10800 experience,
+reference lib/textures.py:1,65-79) is synthesized by device-side
+nearest-neighbour upsampling of a cached 2700x1350 procedural base —
+identical HBM footprint and random-gather cost to a native tier-2 set
+(gathers are content-blind); native numpy synthesis at that scale costs
+~50 min on this environment's host CPU.
 """
 
 import argparse
@@ -15,8 +27,6 @@ import json
 import os
 import sys
 import time
-
-import numpy as np
 
 REFERENCE_PATHS_PER_SEC = 1920 * 1080 * 30  # 30 FPS x 1spp x 1080p proxy
 
@@ -29,23 +39,32 @@ def main():
     ap.add_argument("--tile", type=int, default=2048)
     ap.add_argument(
         "--texture-res", type=int, default=10800,
-        help="procedural texture height for the HEADLINE number; the default "
-        "10800 is the reference's tier-2 21600x10800 scale (reference "
+        help="texture height for the HEADLINE number; the default 10800 is "
+        "the reference's tier-2 21600x10800 scale (reference "
         "lib/textures.py:1,65-79) — the reference's default experience, so "
         "the honest number to report (VERDICT r2 item 3)",
     )
     ap.add_argument(
         "--lowres-texture-res", type=int, default=1024,
-        help="secondary measurement at reduced texture scale (0 disables); "
-        "recorded as paths_per_sec_lowres for round-over-round continuity "
-        "with BENCH_r01/r02",
+        help="the FIRST (cheap, timeout-proof) measurement's texture height "
+        "(0 disables); reported as paths_per_sec_lowres on the headline "
+        "line for round-over-round continuity with BENCH_r01/r02",
+    )
+    ap.add_argument(
+        "--budget-s", type=float,
+        default=float(os.environ.get("DE_BENCH_BUDGET_S", "520")),
+        help="wall-clock budget; the tier-2 stage degrades (fewer spp, or "
+        "skip) to fit in it rather than risk the driver timeout",
     )
     ap.add_argument("--out", default=None, help="optionally save the frame PNG")
     args = ap.parse_args()
+    t_bench0 = time.time()
 
     import jax
 
-    from digital_earth_tpu.assets.textures import load_texture_atlas
+    from digital_earth_tpu.assets.textures import (
+        load_texture_atlas, upsampled_procedural_atlas,
+    )
     from digital_earth_tpu.render.renderer import Renderer
     from digital_earth_tpu.utils.cache import enable_compilation_cache
 
@@ -56,11 +75,19 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     enable_compilation_cache()
 
-    def measure(texture_res):
-        """(paths/s, s/spp, warmup_s, hero_lambdas) at one texture scale."""
-        atlas = load_texture_atlas(
-            procedural_resolution=(texture_res, 2 * texture_res)
-        )
+    def measure(texture_res, spp, save_png=False):
+        """Measurement dict at one texture scale; ``spp`` timed steps."""
+        t0 = time.time()
+        if texture_res >= 4050 and texture_res % 1350 == 0:
+            atlas = upsampled_procedural_atlas(
+                (texture_res, 2 * texture_res)
+            )
+        else:
+            atlas = load_texture_atlas(
+                procedural_resolution=(texture_res, 2 * texture_res)
+            )
+        jax.block_until_ready(atlas.material.rows)
+        atlas_s = time.time() - t0
         r = Renderer(
             image_res=(args.width, args.height), atlas=atlas,
             tile_pixels=args.tile,
@@ -83,51 +110,115 @@ def main():
         r.set_sun_angle(5.0813688841507325)
         r.set_sun_path_rot(-1.7096024133386984)
 
-        # warmup (compile + first spp)
+        # warmup (trace + compile + first spp)
         t0 = time.time()
         r.accumulate()
         r.color_buffer.block_until_ready()
         warmup_s = time.time() - t0
 
         t0 = time.time()
-        for _ in range(args.spp):
+        for _ in range(spp):
             r.accumulate()
         r.color_buffer.block_until_ready()
         dt = time.time() - t0
-        if args.out and texture_res == args.texture_res:
+        if save_png and args.out:
             from PIL import Image
 
             Image.fromarray(r.fetch_image_np()).save(args.out)
-        pps = args.width * args.height * args.spp / dt
-        return pps, dt / args.spp, warmup_s, r.cfg.hero_lambdas
+        pps = args.width * args.height * spp / dt
+        return dict(
+            pps=pps, s_per_spp=dt / spp, warmup_s=warmup_s,
+            atlas_s=atlas_s, hero_lambdas=r.cfg.hero_lambdas, spp=spp,
+        )
 
-    paths_per_sec, s_per_spp, warmup_s, hero_l = measure(args.texture_res)
+    lo = None
+    if args.lowres_texture_res:
+        lo = measure(args.lowres_texture_res, args.spp)
+        print(json.dumps({
+            "metric": "paths_per_sec_1080p_apollo11_lowres",
+            "value": round(lo["pps"], 1),
+            "unit": "paths/s/chip",
+            "vs_baseline": round(lo["pps"] / REFERENCE_PATHS_PER_SEC, 6),
+            "device": str(jax.devices()[0]),
+            "resolution": [args.width, args.height],
+            "spp_timed": lo["spp"],
+            "texture_res": [
+                2 * args.lowres_texture_res, args.lowres_texture_res
+            ],
+            "seconds_per_spp": round(lo["s_per_spp"], 3),
+            "warmup_s": round(lo["warmup_s"], 1),
+            "atlas_s": round(lo["atlas_s"], 1),
+            "hero_lambdas": lo["hero_lambdas"],
+            "note": "cheap first measurement; the tier-2 headline follows",
+        }), flush=True)
+
+    # ---- tier-2 headline, degraded to fit the remaining budget ----------
+    spp2 = args.spp
+    if lo is not None:
+        remaining = args.budget_s - (time.time() - t_bench0)
+        warm_est = lo["warmup_s"] * 1.3
+        atlas_est = 40.0  # measured 28.4 s on TPU (device-side upsample)
+        spp_est = lo["s_per_spp"] * 2.5
+        if remaining < warm_est + atlas_est + 1.1 * spp_est:
+            # no room even for a 1-spp tier-2 stage: the lowres line above
+            # stands as the round's (degraded) record
+            print(json.dumps({
+                "metric": "paths_per_sec_1080p_apollo11_lowres",
+                "value": round(lo["pps"], 1),
+                "unit": "paths/s/chip",
+                "vs_baseline": round(
+                    lo["pps"] / REFERENCE_PATHS_PER_SEC, 6
+                ),
+                "device": str(jax.devices()[0]),
+                "resolution": [args.width, args.height],
+                "texture_res": [
+                    2 * args.lowres_texture_res, args.lowres_texture_res
+                ],
+                "seconds_per_spp": round(lo["s_per_spp"], 3),
+                "hero_lambdas": lo["hero_lambdas"],
+                "tier2_skipped": (
+                    f"budget: {remaining:.0f}s left < "
+                    f"{warm_est + atlas_est + 1.1 * spp_est:.0f}s estimated"
+                ),
+            }), flush=True)
+            return 0
+        spp2 = max(1, min(
+            args.spp,
+            int((0.9 * remaining - warm_est - atlas_est) / spp_est),
+        ))
+
+    m = measure(args.texture_res, spp2, save_png=True)
     result = {
         "metric": "paths_per_sec_1080p_apollo11_tier2",
-        "value": round(paths_per_sec, 1),
+        "value": round(m["pps"], 1),
         "unit": "paths/s/chip",
-        "vs_baseline": round(paths_per_sec / REFERENCE_PATHS_PER_SEC, 6),
+        "vs_baseline": round(m["pps"] / REFERENCE_PATHS_PER_SEC, 6),
         "device": str(jax.devices()[0]),
         "resolution": [args.width, args.height],
-        "spp_timed": args.spp,
+        "spp_timed": m["spp"],
         "texture_res": [2 * args.texture_res, args.texture_res],
-        "seconds_per_spp": round(s_per_spp, 3),
-        "warmup_s": round(warmup_s, 1),
-        "hero_lambdas": hero_l,
-        "spectral_samples_per_sec": round(paths_per_sec * hero_l, 1),
-        "est_wallclock_1024spp_s": round(1024 * s_per_spp, 1),
+        "texture_synthesis": (
+            "procedural 2700x1350 base NN-upsampled on device — HBM "
+            "footprint and gather cost identical to native tier-2"
+        ),
+        "seconds_per_spp": round(m["s_per_spp"], 3),
+        "warmup_s": round(m["warmup_s"], 1),
+        "atlas_s": round(m["atlas_s"], 1),
+        "hero_lambdas": m["hero_lambdas"],
+        "spectral_samples_per_sec": round(m["pps"] * m["hero_lambdas"], 1),
+        "est_wallclock_1024spp_s": round(1024 * m["s_per_spp"], 1),
     }
-    if args.lowres_texture_res:
-        pps_lo, spspp_lo, warm_lo, _ = measure(args.lowres_texture_res)
+    if lo is not None:
         result.update(
-            paths_per_sec_lowres=round(pps_lo, 1),
+            paths_per_sec_lowres=round(lo["pps"], 1),
             lowres_texture_res=[
                 2 * args.lowres_texture_res, args.lowres_texture_res
             ],
-            lowres_seconds_per_spp=round(spspp_lo, 3),
-            lowres_warmup_s=round(warm_lo, 1),
+            lowres_seconds_per_spp=round(lo["s_per_spp"], 3),
+            lowres_warmup_s=round(lo["warmup_s"], 1),
         )
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+    return 0
 
 
 if __name__ == "__main__":

@@ -151,13 +151,25 @@ def generate_earth_textures(resolution=(1024, 2048), seed=7) -> Dict[str, np.nda
 
 
 def cached_earth_textures(resolution=(1024, 2048), seed=7, cache_dir=None):
-    """Generate-or-load the procedural set from an npz cache."""
+    """Generate-or-load the procedural set from an npz cache.
+
+    Ships-with-the-repo fallback: assets/data/ carries the pre-generated
+    2700x1350 base (the seed-7 set the tier-2 bench upsamples on device —
+    generating it costs ~5 min of single-threaded numpy on slow hosts), so
+    a fresh checkout benches without paying generation."""
+    name = f"procgen_{resolution[0]}x{resolution[1]}_s{seed}.npz"
     if cache_dir is None:
         cache_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "digital_earth_tpu"
         )
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"procgen_{resolution[0]}x{resolution[1]}_s{seed}.npz")
+    path = os.path.join(cache_dir, name)
+    if not os.path.exists(path):
+        shipped = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "data", name
+        )
+        if os.path.exists(shipped):
+            path = shipped
     if os.path.exists(path):
         with np.load(path) as z:
             return {k: z[k] for k in z.files}

@@ -70,6 +70,48 @@ class Tex2D:
             rows = np.pad(rows, ((0, 0), (0, LANES - tpr * c)))
         return cls(jnp.asarray(rows), h, w, c)
 
+    @classmethod
+    def from_upsampled(cls, arr, factor: int) -> "Tex2D":
+        """Nearest-neighbour-upsample an (h, w[, C]) uint8 image by an
+        integer ``factor`` and row-gather-pack it, entirely ON DEVICE —
+        bit-identical to ``from_array(np.repeat(np.repeat(arr, f, 0), f,
+        1))`` (asserted in tests/test_texture.py).
+
+        Every materialized intermediate is 1-D/2-D with a large minor
+        dimension: TPU tiling pads the two minor dims to (8·4, 128) for
+        uint8, so the naive image-space route — any (H, W, C) array —
+        inflates 16x (a 1.9 GB tier-2 material plane would allocate
+        29.9 GB and OOM; measured, and XLA materializes the broadcast even
+        under jit). The horizontal texel-repeat is done in transpose space
+        ((w, C, h) repeat along the major axis), the vertical repeat on
+        (H, w·C) directly; host-side packing is no alternative because this
+        environment's host CPU moves memory at ~100 MB/s."""
+        arr = jnp.asarray(arr)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, c = arr.shape
+        f = int(factor)
+        W, H = w * f, h * f
+        tpr = LANES // c
+        n_texels = H * W
+        n_rows = -(-n_texels // tpr)
+
+        @jax.jit
+        def _up_pack(a2d):  # (h, w*C) u8 -> (n_rows, 128)
+            t = a2d.T.reshape(w, c, h)
+            t = jnp.repeat(t, f, axis=0).reshape(W * c, h)
+            v = jnp.repeat(t.T, f, axis=0)  # (H, W*C)
+            flat = v.reshape(-1)
+            pad = n_rows * tpr * c - flat.shape[0]
+            if pad:
+                flat = jnp.pad(flat, (0, pad))
+            rows = flat.reshape(n_rows, tpr * c)
+            if tpr * c < LANES:
+                rows = jnp.pad(rows, ((0, 0), (0, LANES - tpr * c)))
+            return rows
+
+        return cls(_up_pack(arr.reshape(h, w * c)), H, W, c)
+
     def __repr__(self):
         return f"Tex2D({self.h}x{self.w}x{self.channels}, rows={self.rows.shape})"
 

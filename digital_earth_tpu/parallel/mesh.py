@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops import spectral as sp
 from ..render.camera import CameraParams
 from ..render.params import SceneParams, TraceConfig
 from ..render.renderer import Renderer, _pick_block_dims, _trace_tile_range
@@ -110,6 +111,129 @@ def make_sharded_render_step(
     return jax.jit(sharded, donate_argnums=(2,)), n_spp, block
 
 
+def make_sharded_chunk_step(
+    mesh: Mesh,
+    image_res: Tuple[int, int],
+    cfg: TraceConfig,
+    block: Tuple[int, int],
+    n_chunk_tiles: int,
+):
+    """Chunked variant of the sharded step for interruptible accumulation:
+    every device renders ``n_chunk_tiles`` of ITS tile range per call,
+    starting at the dynamic within-range offset ``chunk0``, into the
+    "px"-sharded tile-major staging buffer. The host polls for input between
+    chunks — the multi-chip twin of renderer._render_chunk (VERDICT r3
+    item 7). Same per-lane pixel-keyed RNG, so the striped spp is
+    bit-identical to the unchunked one."""
+    w, h = image_res
+    n_px = mesh.shape["px"]
+    n_spp = mesh.shape["spp"]
+    bw, bh = block
+    tile = bw * bh
+    tiles_per_dev = ((w // bw) * (h // bh)) // n_px
+
+    def shard_fn(base_key, spp0, staging, cam, scene, atlas, luts, chunk0):
+        px_idx = jax.lax.axis_index("px")
+        spp_idx = jax.lax.axis_index("spp")
+        rgb = _trace_tile_range(
+            base_key, spp0 + spp_idx, cam, scene, atlas, luts, image_res,
+            block, cfg, px_idx * tiles_per_dev + chunk0, n_chunk_tiles,
+        )
+        if n_spp > 1:
+            rgb = jax.lax.psum(rgb, "spp")
+        return jax.lax.dynamic_update_slice(staging, rgb, (chunk0 * tile, 0))
+
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P("px"), P(), P(), P(), P(), P()),
+        out_specs=P("px"),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(2,))
+
+
+def make_sharded_adaptive_step(
+    mesh: Mesh,
+    image_res: Tuple[int, int],
+    cfg: TraceConfig,
+    block: Tuple[int, int],
+    k_local: int,
+):
+    """Sharded adaptive pass: every "px" device scores ITS tiles from its
+    shard of the (sum, count, sum-lum^2) buffers and traces one more sample
+    per pixel of its ``k_local`` highest-variance tiles (the multi-chip twin
+    of renderer._select_tiles + _render_selected; VERDICT r3 item 7).
+
+    Selection is per-device top-k rather than global top-k: it needs no
+    cross-device gather, keeps shapes static, and doubles as load balancing
+    (every chip refines its own worst tiles, so the pass is never gated by
+    one chip owning all the noisy content). The scoring statistic matches
+    the single-chip one, including the frame-mean luminance anchor
+    (a scalar ``pmean`` over "px" — the only communication besides the
+    "spp" psum). Estimates stay unbiased for the same reason the
+    single-chip pass's do: per-pixel means over that pixel's own samples,
+    with sample keys independent of the selection."""
+    w, h = image_res
+    n_px = mesh.shape["px"]
+    n_spp = mesh.shape["spp"]
+    bw, bh = block
+    tile = bw * bh
+    tiles_per_dev = ((w // bw) * (h // bh)) // n_px
+
+    def shard_fn(base_key, rng_round, color, count, lum2, cam, scene, atlas,
+                 luts, uniform):
+        px_idx = jax.lax.axis_index("px")
+        spp_idx = jax.lax.axis_index("spp")
+
+        # --- local tile scores (renderer._select_tiles, shard-local) ----
+        n = jnp.maximum(count, 1.0)
+        mean_lum = sp.lum(color) / n
+        var_mean = jnp.maximum(lum2 / n - mean_lum**2, 0.0) / n
+        m_bar = jax.lax.pmean(jnp.mean(mean_lum), "px")
+        anchor = 0.2 * m_bar + 1e-20
+        explore = (0.2 * m_bar) ** 2 / n**2
+        score = (var_mean + explore) / (mean_lum + anchor) ** 2
+        score = jnp.where(count < 1.0, jnp.inf, score)
+        tile_score = score.reshape(tiles_per_dev, tile).mean(axis=1)
+        _, local_ids = jax.lax.top_k(tile_score, k_local)
+        local_ids = jnp.where(
+            uniform, jnp.arange(k_local, dtype=jnp.int32),
+            local_ids.astype(jnp.int32),
+        )
+        tile_ids = px_idx * tiles_per_dev + local_ids
+
+        rgb = _trace_tile_range(
+            base_key, rng_round + spp_idx, cam, scene, atlas, luts,
+            image_res, block, cfg, 0, k_local, tile_ids=tile_ids,
+        )
+        lum_s = sp.lum(rgb)
+        if n_spp > 1:
+            rgb = jax.lax.psum(rgb, "spp")
+            lum2_add = jax.lax.psum(lum_s * lum_s, "spp")
+        else:
+            lum2_add = lum_s * lum_s
+        # scatter-add into the local flat tile-major shards
+        lanes = (
+            local_ids[:, None] * tile + jnp.arange(tile, dtype=jnp.int32)
+        ).reshape(-1)
+        color = color.at[lanes].add(rgb)
+        count = count.at[lanes].add(float(n_spp))
+        lum2 = lum2.at[lanes].add(lum2_add)
+        return color, count, lum2
+
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P("px"), P("px"), P("px"), P(), P(), P(), P(), P(),
+        ),
+        out_specs=(P("px"), P("px"), P("px")),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(2, 3, 4))
+
+
 class MultiChipRenderer(Renderer):
     """Multi-chip Renderer: the full single-chip API (``set_*``,
     ``accumulate()``, ``fetch_image()``, ``reset_framebuffer()``,
@@ -136,20 +260,37 @@ class MultiChipRenderer(Renderer):
             mesh, image_res, cfg, tile_pixels
         )
         self.tile = self.block[0] * self.block[1]
+        w, h = image_res
+        self.tiles_per_dev = (
+            (w // self.block[0]) * (h // self.block[1]) // mesh.shape["px"]
+        )
         self._sharding = NamedSharding(mesh, P("px"))
         self.color_buffer = self._zeros()
+        self._chunk_steps = {}  # n_chunk_tiles -> compiled chunk step
+        self._adaptive_steps = {}  # k_local -> compiled adaptive step
 
-    def _zeros(self):
+    def _zeros(self, channels=3):
         w, h = self.image_res
+        shape = (w * h, channels) if channels else (w * h,)
         return jax.device_put(
-            jnp.zeros((w * h, 3), dtype=jnp.float32), self._sharding
+            jnp.zeros(shape, dtype=jnp.float32), self._sharding
         )
 
     def reset_framebuffer(self):
         self.current_spp = 0
         self.color_buffer = self._zeros()
+        self.total_samples = 0
+        self._rng_round = 0
+        self._adaptive_rounds = 0
+        if self.count_buffer is not None:
+            self.count_buffer = self._zeros(channels=0)
+            self.lum2_buffer = self._zeros(channels=0)
 
     def accumulate(self, cam: CameraParams = None, scene: SceneParams = None):
+        if self.count_buffer is not None:
+            # adaptive bookkeeping is live: keep per-pixel counts right
+            self.accumulate_adaptive(frac=1.0, cam=cam, scene=scene)
+            return
         cam = self._camera_params() if cam is None else cam
         scene = self._scene_params() if scene is None else scene
         self.color_buffer = self.step(
@@ -162,38 +303,137 @@ class MultiChipRenderer(Renderer):
             self.luts,
         )
         self.current_spp += self.spp_per_step
-
-    def accumulate_interruptible(self, n_chunks, interrupt=None):
-        """Multi-chip steps are already 1/n_px of the frame per chip; chunk
-        striping is a single-chip latency tool. One whole step per call."""
-        self.accumulate()
-        return True
-
-    def accumulate_adaptive(self, *args, **kwargs):
-        raise NotImplementedError(
-            "adaptive tile sampling is a single-chip Renderer feature for "
-            "now (the sharded step renders fixed per-device tile ranges; "
-            "per-device adaptive selection needs a gather of the sharded "
-            "variance buffers)"
+        self._rng_round = self.current_spp
+        self.total_samples += (
+            self.image_res[0] * self.image_res[1] * self.spp_per_step
         )
 
-    def _assembled_buffer(self):
-        """Undo the tile-major block interleave -> (W, H, 3), on device."""
+    def accumulate_interruptible(self, n_chunks, interrupt=None) -> bool:
+        """One spp batch in ~``n_chunks`` chunks of every device's tile
+        range, polling ``interrupt()`` between chunks (the multi-chip twin
+        of Renderer.accumulate_interruptible; bit-identical to
+        ``accumulate()`` for the same seed). Worst-case input-to-abort is
+        one chunk instead of a full sharded step."""
+        if self.count_buffer is not None:
+            raise ValueError(
+                "interruptible accumulation does not track the adaptive "
+                "per-pixel counts; use accumulate_adaptive or reset first"
+            )
+        n_chunks = max(
+            (d for d in range(1, min(n_chunks, self.tiles_per_dev) + 1)
+             if self.tiles_per_dev % d == 0),
+            default=1,
+        )
+        per = self.tiles_per_dev // n_chunks
+        if per not in self._chunk_steps:
+            self._chunk_steps[per] = make_sharded_chunk_step(
+                self.mesh, self.image_res, self.cfg, self.block, per
+            )
+        step = self._chunk_steps[per]
+        cam, scene = self._camera_params(), self._scene_params()
+        spp0 = jnp.asarray(self.current_spp, jnp.int32)
+        staging = self._zeros()
+        for c in range(n_chunks):
+            staging = step(
+                self._base_key, spp0, staging, cam, scene, self.atlas,
+                self.luts, jnp.asarray(c * per, jnp.int32),
+            )
+            if interrupt is not None and c + 1 < n_chunks:
+                staging.block_until_ready()
+                if interrupt():
+                    return False
+        self.color_buffer = self.color_buffer + staging
+        self.current_spp += self.spp_per_step
+        self._rng_round = self.current_spp
+        self.total_samples += (
+            self.image_res[0] * self.image_res[1] * self.spp_per_step
+        )
+        return True
+
+    def accumulate_adaptive(
+        self, frac: float = 0.25, min_warmup: int = 2, cam=None, scene=None,
+    ):
+        """Sharded adaptive pass (make_sharded_adaptive_step): each "px"
+        device refines the top ``frac`` of ITS tiles by estimated relative
+        variance. Selection is per-device (see the step builder's note);
+        sample keys follow the same global rng-round chain as the
+        single-chip adaptive pass."""
+        if self.count_buffer is None:
+            if self.current_spp:
+                raise ValueError(
+                    "adaptive accumulation must start from a reset "
+                    "framebuffer (per-pixel counts for the earlier uniform "
+                    "passes were not tracked)"
+                )
+            self.count_buffer = self._zeros(channels=0)
+            self.lum2_buffer = self._zeros(channels=0)
+        uniform = self._adaptive_rounds < min_warmup or frac >= 1.0
+        k_local = (
+            self.tiles_per_dev if uniform
+            else max(1, min(self.tiles_per_dev,
+                            int(self.tiles_per_dev * frac)))
+        )
+        if k_local not in self._adaptive_steps:
+            self._adaptive_steps[k_local] = make_sharded_adaptive_step(
+                self.mesh, self.image_res, self.cfg, self.block, k_local
+            )
+        step = self._adaptive_steps[k_local]
+        cam = self._camera_params() if cam is None else cam
+        scene = self._scene_params() if scene is None else scene
+        self.color_buffer, self.count_buffer, self.lum2_buffer = step(
+            self._base_key, jnp.asarray(self._rng_round, jnp.int32),
+            self.color_buffer, self.count_buffer, self.lum2_buffer,
+            cam, scene, self.atlas, self.luts,
+            jnp.asarray(uniform, bool),
+        )
+        self._rng_round += self.spp_per_step
+        self._adaptive_rounds += 1
+        self.total_samples += (
+            k_local * self.mesh.shape["px"] * self.tile * self.spp_per_step
+        )
+        if uniform:
+            self.current_spp += self.spp_per_step
+
+    def _assemble(self, flat):
+        """Undo the tile-major block interleave -> (W, H, ...), on device."""
         w, h = self.image_res
         bw, bh = self.block
         nbx, nby = w // bw, h // bh
+        tail = flat.shape[1:]
+        perm = (0, 2, 1, 3) + tuple(4 + i for i in range(len(tail)))
         return (
-            self.color_buffer.reshape(nbx, nby, bw, bh, 3)
-            .transpose(0, 2, 1, 3, 4)
-            .reshape(w, h, 3)
+            flat.reshape((nbx, nby, bw, bh) + tail)
+            .transpose(perm)
+            .reshape((w, h) + tail)
         )
+
+    def _flatten(self, frame):
+        """(W, H, ...) image layout -> tile-major flat (W*H, ...)."""
+        w, h = self.image_res
+        bw, bh = self.block
+        nbx, nby = w // bw, h // bh
+        tail = frame.shape[2:]
+        perm = (0, 2, 1, 3) + tuple(4 + i for i in range(len(tail)))
+        return (
+            frame.reshape((nbx, bw, nby, bh) + tail)
+            .transpose(perm)
+            .reshape((w * h,) + tail)
+        )
+
+    def _assembled_buffer(self):
+        return self._assemble(self.color_buffer)
 
     def fetch_image(self):
         from ..render.renderer import _postprocess
 
+        spp_arg = (
+            self._assemble(self.count_buffer)[..., None]
+            if self.count_buffer is not None
+            else jnp.asarray(self.current_spp, dtype=jnp.float32)
+        )
         return _postprocess(
             self._assembled_buffer(),
-            jnp.asarray(self.current_spp, dtype=jnp.float32),
+            spp_arg,
             jnp.asarray(self.exposure, dtype=jnp.float32),
             jnp.asarray(self.gamma, dtype=jnp.float32),
             self.crf.curves,
@@ -207,26 +447,47 @@ class MultiChipRenderer(Renderer):
         return np.asarray(self._assembled_buffer())
 
     def save_checkpoint(self, path: str):
+        extra = {}
+        if self.count_buffer is not None:
+            extra = dict(
+                count_buffer=np.asarray(self._assemble(self.count_buffer)),
+                lum2_buffer=np.asarray(self._assemble(self.lum2_buffer)),
+            )
         np.savez_compressed(
             path,
             color_buffer=self.fetch_buffer(),
             current_spp=self.current_spp,
             seed_key=np.asarray(self._base_key),
+            rng_round=self._rng_round,
+            adaptive_rounds=self._adaptive_rounds,
+            total_samples=self.total_samples,
+            **extra,
         )
 
     def load_checkpoint(self, path: str):
+        def _shard(frame):
+            return jax.device_put(
+                jnp.asarray(self._flatten(np.asarray(frame)), jnp.float32),
+                self._sharding,
+            )
+
         with np.load(path) as z:
-            frame = z["color_buffer"]  # (W, H, 3) assembled layout
+            self.color_buffer = _shard(z["color_buffer"])
             self.current_spp = int(z["current_spp"])
             self._base_key = jnp.asarray(z["seed_key"], dtype=jnp.uint32)
-        w, h = self.image_res
-        bw, bh = self.block
-        nbx, nby = w // bw, h // bh
-        flat = (
-            frame.reshape(nbx, bw, nby, bh, 3)
-            .transpose(0, 2, 1, 3, 4)
-            .reshape(w * h, 3)
-        )
-        self.color_buffer = jax.device_put(
-            jnp.asarray(flat, jnp.float32), self._sharding
-        )
+            self._rng_round = int(z["rng_round"]) if "rng_round" in z else (
+                self.current_spp
+            )
+            self._adaptive_rounds = (
+                int(z["adaptive_rounds"]) if "adaptive_rounds" in z else 0
+            )
+            self.total_samples = (
+                int(z["total_samples"]) if "total_samples" in z
+                else self.current_spp * self.image_res[0] * self.image_res[1]
+            )
+            if "count_buffer" in z:
+                self.count_buffer = _shard(z["count_buffer"])
+                self.lum2_buffer = _shard(z["lum2_buffer"])
+            else:
+                self.count_buffer = None
+                self.lum2_buffer = None

@@ -1369,7 +1369,9 @@ def run_bounces(
                 luts.srgb2spec, albedo_srgb[:, None, :], wavelength
             )  # (n, L)
             offset_pos = land_pos * (1.0 + 0.0001 * scale / 12000.0)
-            if cfg.naive_tracking or cfg.naive_march:
+            if cfg.nee_off:
+                shadow_hit = jnp.full((n,), 1.0)  # "occluded": no sun NEE
+            elif cfg.naive_tracking or cfg.naive_march:
                 shadow_hit = _march(
                     atlas.topography, offset_pos, light_dir, scale, surface,
                     cfg,
@@ -1423,11 +1425,20 @@ def run_bounces(
             nee_w = jnp.where(rr_nee, 1.0 / cfg.nee_rr_prob, 1.0)
         else:
             nee_w = jnp.ones(())
-        trans = sample_transmittance(
-            rng.fold(kb, _SITE_TRANS), nee_origin, light_dir,
-            jnp.full((n,), -1.0), ext_rmo, ext_w, max_ext_rmo,
-            max_ext_cloud, atlas, nee_active, cfg,
-        )  # (n, L)
+        if cfg.nee_off:
+            # DIAGNOSTIC (cfg.nee_off, biased-dark): no sun-cone NEE at all —
+            # the static flag compiles the transmittance tracking out, so a
+            # bench diff against the default isolates the NEE share of the
+            # frame (docs/PERFORMANCE.md decomposition).
+            trans = jnp.zeros((n, L))
+            vol_nee = jnp.zeros((n,), bool)
+            sur_nee = jnp.zeros((n,), bool)
+        else:
+            trans = sample_transmittance(
+                rng.fold(kb, _SITE_TRANS), nee_origin, light_dir,
+                jnp.full((n,), -1.0), ext_rmo, ext_w, max_ext_rmo,
+                max_ext_cloud, atlas, nee_active, cfg,
+            )  # (n, L)
         if cfg.nee_rr_prob < 1.0:
             trans = trans * jnp.where(nee_active, nee_w, 0.0)[:, None]
             vol_nee = vol_nee & nee_keep

@@ -7,7 +7,8 @@ adds one spp per "spp"-axis device.
 
 ``--adaptive`` switches idle progression to adaptive tile sampling: each
 pass refines only the noisiest quarter of pixel blocks, so visible noise
-converges faster for the same chip time (single-chip only).
+converges faster for the same chip time. Composes with ``--multichip``
+(each "px" device refines its own noisiest tiles).
 """
 
 import sys
@@ -16,9 +17,8 @@ from digital_earth_tpu.app.viewer import EarthViewer
 
 if __name__ == "__main__":
     image_res = (1920, 1080)
+    adaptive = 0.25 if "--adaptive" in sys.argv else 0.0
     if "--multichip" in sys.argv:
-        import jax
-
         from digital_earth_tpu.parallel.mesh import (
             MultiChipRenderer, make_render_mesh,
         )
@@ -28,7 +28,6 @@ if __name__ == "__main__":
         renderer = MultiChipRenderer(
             make_render_mesh(), image_res, atlas=None, luts=None
         )
-        EarthViewer(renderer=renderer).start()
+        EarthViewer(renderer=renderer, adaptive_frac=adaptive).start()
     else:
-        adaptive = 0.25 if "--adaptive" in sys.argv else 0.0
         EarthViewer(image_res=image_res, adaptive_frac=adaptive).start()

@@ -176,3 +176,81 @@ class TestMesh:
         assert r42.current_spp == r81.current_spp == 2
         a, b = r42.fetch_buffer(), r81.fetch_buffer()
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+    def test_multichip_interruptible_matches_accumulate(self, scene_setup):
+        """Chunked multi-chip accumulation is bit-identical to the unchunked
+        step, and the interrupt callback aborts without corrupting state
+        (VERDICT r3 item 7)."""
+        atlas, luts, cam, scene, cfg = scene_setup
+        m = make_render_mesh(devices=jax.devices()[:4], spp_axis=1)
+        ra = MultiChipRenderer(m, (32, 8), atlas, luts, cfg=cfg,
+                               tile_pixels=32, seed=5)
+        rb = MultiChipRenderer(m, (32, 8), atlas, luts, cfg=cfg,
+                               tile_pixels=32, seed=5)
+        ra.set_camera_pos(35963490.0, 12765367.0, -42445899.0)
+        ra.set_look_at(23201393.0, 8394073.0, -26074562.0)
+        rb.set_camera_pos(35963490.0, 12765367.0, -42445899.0)
+        rb.set_look_at(23201393.0, 8394073.0, -26074562.0)
+        ra.accumulate()
+        polls = []
+        done = rb.accumulate_interruptible(
+            n_chunks=2, interrupt=lambda: polls.append(1) and False
+        )
+        assert done and polls
+        np.testing.assert_array_equal(ra.fetch_buffer(), rb.fetch_buffer())
+        assert ra.current_spp == rb.current_spp == ra.spp_per_step
+        # an aborting interrupt discards the partial spp
+        aborted = rb.accumulate_interruptible(n_chunks=2, interrupt=lambda: True)
+        assert not aborted
+        np.testing.assert_array_equal(ra.fetch_buffer(), rb.fetch_buffer())
+
+    def test_multichip_adaptive(self, scene_setup):
+        """Sharded adaptive passes: warmup covers every pixel uniformly;
+        adaptive rounds add samples only to the selected tiles; estimates
+        stay per-pixel means (fetch_image divides by the counts)."""
+        atlas, luts, cam, scene, cfg = scene_setup
+        m = make_render_mesh(devices=jax.devices()[:4], spp_axis=1)
+        r = MultiChipRenderer(m, (32, 8), atlas, luts, cfg=cfg,
+                              tile_pixels=32, seed=5)
+        r.set_camera_pos(35963490.0, 12765367.0, -42445899.0)
+        r.set_look_at(23201393.0, 8394073.0, -26074562.0)
+        r.accumulate_adaptive(frac=0.5, min_warmup=2)
+        r.accumulate_adaptive(frac=0.5, min_warmup=2)
+        counts = np.asarray(r._assemble(r.count_buffer))
+        np.testing.assert_array_equal(counts, 2.0)  # uniform warmup
+        assert r.current_spp == 2
+        r.accumulate_adaptive(frac=0.5, min_warmup=2)
+        counts = np.asarray(r._assemble(r.count_buffer))
+        assert counts.min() == 2.0 and counts.max() == 3.0
+        # every device refined exactly half its tiles
+        assert (counts == 3.0).mean() == pytest.approx(0.5)
+        img = np.asarray(r.fetch_image())
+        assert np.isfinite(img).all() and (img > 0).any()
+        # uniform accumulate() with live bookkeeping routes adaptively
+        r.accumulate()
+        counts = np.asarray(r._assemble(r.count_buffer))
+        assert counts.min() == 3.0 and counts.max() == 4.0
+
+    def test_multichip_adaptive_checkpoint(self, scene_setup, tmp_path):
+        atlas, luts, cam, scene, cfg = scene_setup
+        m = make_render_mesh(devices=jax.devices()[:2], spp_axis=1)
+        r = MultiChipRenderer(m, (16, 8), atlas, luts, cfg=cfg, seed=3)
+        r.set_camera_pos(35963490.0, 12765367.0, -42445899.0)
+        r.set_look_at(23201393.0, 8394073.0, -26074562.0)
+        for _ in range(3):
+            r.accumulate_adaptive(frac=0.5)
+        p = str(tmp_path / "ckpt.npz")
+        r.save_checkpoint(p)
+        r2 = MultiChipRenderer(m, (16, 8), atlas, luts, cfg=cfg, seed=3)
+        r2.set_camera_pos(35963490.0, 12765367.0, -42445899.0)
+        r2.set_look_at(23201393.0, 8394073.0, -26074562.0)
+        r2.load_checkpoint(p)  # render state only; scene state is config.txt
+        np.testing.assert_allclose(
+            np.asarray(r2._assemble(r2.count_buffer)),
+            np.asarray(r._assemble(r.count_buffer)),
+        )
+        r.accumulate_adaptive(frac=0.5)
+        r2.accumulate_adaptive(frac=0.5)
+        np.testing.assert_allclose(
+            r2.fetch_buffer(), r.fetch_buffer(), atol=1e-6
+        )

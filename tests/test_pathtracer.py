@@ -1,3 +1,5 @@
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -170,3 +172,28 @@ def test_speckle_shaper():
     assert hi.mean() > lo.mean()
     again = np.asarray(speckle(p, jnp.full((64,), 0.1)))
     np.testing.assert_array_equal(lo, again)
+
+
+def test_nee_off_diagnostic(atlas):
+    """cfg.nee_off compiles the NEE path out (ADVICE r3): the render stays
+    finite and can only lose energy vs the default estimator."""
+    luts = load_spectral_luts()
+    scene = make_scene_params()
+    n = 256
+    cam = jnp.array([35963490.0, 12765367.0, -42445899.0])
+    target = jax.random.normal(jax.random.PRNGKey(4), (n, 3)) * 5e6
+    dirs = target - cam
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    pos = jnp.broadcast_to(cam, (n, 3))
+    wl = jnp.linspace(400.0, 700.0, n)
+    on = np.asarray(pt.trace_paths(
+        jax.random.PRNGKey(7), pos, dirs, wl, scene, atlas, luts, CFG
+    ))
+    off = np.asarray(pt.trace_paths(
+        jax.random.PRNGKey(7), pos, dirs, wl, scene, atlas, luts,
+        dataclasses.replace(CFG, nee_off=True),
+    ))
+    assert np.isfinite(off).all() and (off >= 0).all()
+    # same RNG stream: the NEE contribution is the only difference per lane
+    assert (off <= on + 1e-6).all()
+    assert off.sum() < on.sum()
