@@ -242,9 +242,32 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
         step = jnp.where(
             f < 0.0, f, jnp.maximum(jnp.maximum(f, s_region), step_floor)
         )  # (k, n)
+        # Exact analytic ocean hit: a ZERO regional max (the displacement is
+        # uint8 >= 0, so zero max means the terrain IS the base sphere
+        # throughout the bound's validity ball) turns the probe's
+        # base-sphere intersection into the exact surface hit — no
+        # floor-step crawl to the relative epsilon. Grazing rays over open
+        # ocean (most of an Apollo/florida frame) terminate on their first
+        # in-ball probe; exact, so strictly tighter than the march's
+        # |f| < t*1e-4 convergence slack.
+        p_near, _ = mu.rsi(ro, direction, C.PLANET_R)
+
+        def exact_base_hit(mip_val, valid):
+            return (mip_val <= 0.0) & (p_near > 0.0) & (p_near <= valid)
+
+        ocean_hit = (
+            exact_base_hit(sample[..., 1], _MIP_VALID_FINE)
+            | exact_base_hit(sample[..., 2], _MIP_VALID_COARSE)
+            | exact_base_hit(sample[..., 3], _CLOUD_VALID)
+        )
         converged = jnp.abs(f) < ts * 1e-4
+        # the converged probe's parameter: the exact base-sphere hit for
+        # ocean terminations, the probe position otherwise
+        t_conv = jnp.where(converged, ts, ts + p_near)
+        converged = converged | ocean_hit
         if any_hit:
             converged = converged | (f < 0.0)
+            t_conv = jnp.where(f < 0.0, ts, t_conv)
         out = ts > miss_beyond[None, :]
         # probe j stops the sweep if it terminates (converged/left the shell)
         # or cannot certify the stride to probe j+1
@@ -255,13 +278,13 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
         pick = (arange_k == first[None, :].astype(jnp.float32)).astype(step.dtype)
         psel = lambda a: jnp.sum(a * pick, axis=0)
 
-        t_stop = psel(ts)
+        t_stop = psel(jnp.where(converged, t_conv, ts))
         step_stop = psel(step)
         conv_stop = psel(converged.astype(step.dtype)) > 0.5
         out_stop = psel(out.astype(step.dtype)) > 0.5
-        # stopped lanes: converged stay at the probe; short-steppers advance
-        # (or retreat) by their own step. Full sweeps take the last probe's
-        # full step on top of the chained strides.
+        # stopped lanes: converged stay at the (exact-or-probe) parameter;
+        # short-steppers advance (or retreat) by their own step. Full sweeps
+        # take the last probe's full step on top of the chained strides.
         t_stopped = jnp.where(conv_stop | out_stop, t_stop, t_stop + step_stop)
         t_full = ts[-1] + step[-1]
         t_new = jnp.where(any_stop, t_stopped, t_full)

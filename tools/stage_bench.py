@@ -66,6 +66,12 @@ def main():
         "ce24": {"compact_every": 24},
         "ce6_ct64k": {"compact_every": 6, "compact_tile": 65536},
         "ce6_crr6": {"compact_every": 6, "cloud_rr_keep": 0.6},
+        # NEE share of the frame (cfg.nee_off is a biased DIAGNOSTIC: it
+        # compiles out sun-cone sampling + both NEE transmittance tracks)
+        "nee_off": {"nee_off": True},
+        # deep-cloud path roulette (keep prob on the multi-scatter tail)
+        "crr50": {"cloud_rr_keep": 0.5},
+        "crr25": {"cloud_rr_keep": 0.25},
         # march-floor fidelity/perf frontier (docs/PARITY.md round 3):
         # 0.02 is the measured-unbiased default; what does it cost?
         "floor25": {"march_floor_frac": 0.25},
