@@ -76,6 +76,16 @@ def main():
     ap.add_argument("--state", default=None, help="checkpoint npz path")
     ap.add_argument("--json-out", default=None)
     ap.add_argument(
+        "--paired", action="store_true",
+        help="common random numbers: batch b uses the SAME frame seed in "
+        "both arms, so primary geometry, wavelength draws and shared-site "
+        "randomness are identical and their (dominant, firefly-heavy) "
+        "variance cancels in the per-batch DIFFERENCE. Unbiased for the "
+        "mean difference regardless of correlation; floors are computed "
+        "from the per-batch paired differences (B-1 dof). State files get "
+        "a _p tag so paired and unpaired batches never mix.",
+    )
+    ap.add_argument(
         "--accel", default="",
         help="TraceConfig overrides for the ACCEL arm, e.g. "
         "'naive_march=True,lazy_march=False' — bisects which accelerated "
@@ -96,6 +106,8 @@ def main():
         ROOT, f"parity_state_{args.scene}_{args.spp}spp"
     )
     base = base[:-4] if base.endswith(".npz") else base
+    if args.paired:
+        base += "_p"
     # baseline-arm state is shared across --accel bisections
     ntag = (
         slug(args.base) if args.base != "naive_tracking=True" else "_naive"
@@ -153,7 +165,8 @@ def main():
             t0 = time.time()
             r = Renderer(
                 image_res=(args.width, args.height), atlas=atlas,
-                tile_pixels=2048, seed=1000 * (b + 1) + (arm == "naive"),
+                tile_pixels=2048,
+                seed=1000 * (b + 1) + (0 if args.paired else (arm == "naive")),
                 cfg=cfg,
             )
             apply_config(r, config)
@@ -180,13 +193,21 @@ def main():
     # |mu_n| in denominators: single-wavelength XYZ->RGB samples are signed
     # (a saturated-λ firefly can push a barely-sampled channel negative), so
     # the convergence-relative scale is the magnitude.
-    def frame_stats(Ax, Nx):
+    def frame_stats(Ax, Nx, paired=None):
+        paired = args.paired if paired is None else paired
         am = Ax.mean(axis=(1, 2))  # (B, 3) per-batch frame means
         nm = Nx.mean(axis=(1, 2))
         mu_a, mu_n = am.mean(0), nm.mean(0)
-        se = np.sqrt(
-            am.var(0, ddof=1) / am.shape[0] + nm.var(0, ddof=1) / nm.shape[0]
-        )
+        if paired and am.shape[0] == nm.shape[0]:
+            # common random numbers: the shared (firefly-dominated) variance
+            # cancels in the per-batch difference; SE over B paired diffs
+            d = am - nm
+            se = np.sqrt(d.var(0, ddof=1) / d.shape[0])
+        else:
+            se = np.sqrt(
+                am.var(0, ddof=1) / am.shape[0]
+                + nm.var(0, ddof=1) / nm.shape[0]
+            )
         return (mu_a - mu_n) / np.abs(mu_n), se / np.abs(mu_n)
 
     rel_err_raw, rel_floor_raw = frame_stats(A, N)
@@ -203,7 +224,8 @@ def main():
     # vs odd batches) measures the practical resolution — heavy-tailed
     # single-wavelength samples make the empirical SE an underestimate, so
     # a "signal" is only actionable when it clears the null's scale too
-    null_err, null_floor = frame_stats(Nc[0::2], Nc[1::2])
+    # (the split halves are different seeds even under --paired: unpaired SE)
+    null_err, null_floor = frame_stats(Nc[0::2], Nc[1::2], paired=False)
     # luminance channel: the CIE sampling pdf tracks the luminosity curve,
     # so Y-weighted values have far lighter spectral-edge tails than X/Z —
     # the highest-power single statistic
@@ -223,7 +245,10 @@ def main():
     ).mean(axis=(2, 4))  # (B, bw, bh, 3)
     Ab, Nb = blk(A), blk(N)
     d = Ab.mean(0) - Nb.mean(0)
-    se_b = np.sqrt(Ab.var(0, ddof=1) / B + Nb.var(0, ddof=1) / B)
+    if args.paired:
+        se_b = np.sqrt((Ab - Nb).var(0, ddof=1) / B)
+    else:
+        se_b = np.sqrt(Ab.var(0, ddof=1) / B + Nb.var(0, ddof=1) / B)
     lum = np.abs(Nb.mean(0)).mean(-1, keepdims=True)
     lit = np.broadcast_to(lum > np.percentile(lum, 25), d.shape)
     z = d[lit] / np.maximum(se_b[lit], 1e-12)
@@ -233,6 +258,7 @@ def main():
 
     result = {
         "scene": args.scene,
+        "paired": bool(args.paired),
         "accel_overrides": args.accel,
         "resolution": [W, H],
         "spp_per_batch": args.spp,
