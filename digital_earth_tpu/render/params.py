@@ -164,7 +164,19 @@ class TraceConfig:
     # 6.23/5.65/5.42/5.27 s/spp.
     compact_after: int = 1
     compact_every: int = 6
-    compact_tile: int = 32768
+    # Tail compact-tile budget: the renderer picks the largest 128-aligned
+    # divisor of the wavefront <= this. TPU-measured at 1080p (one-process
+    # sweep, Apollo): achieved ctile 1920 = 4.85 s/spp vs 6400 = 5.43,
+    # 12800 = 6.18, 25600/28800 = 6.5 — fine class-binned tail tiles
+    # minimize worst-lane pacing of the tracking loops and skip dead tiles
+    # sooner, which beats per-tile op-overhead amortization.
+    compact_tile: int = 2048
+    # stage-compaction workload bins: 3 = cloud/gas/surface; 5 additionally
+    # splits cloud lanes by slab-core vs slab-edge and gas lanes by low vs
+    # high altitude, so each tail tile's tracking-iteration profile is more
+    # uniform (loops run at worst-lane pace). Output is bin-invariant
+    # (binning only permutes lanes; RNG is per-lane).
+    work_bins: int = 3
     # DIAGNOSTIC ONLY (biased-dark): skip next-event estimation entirely —
     # no sun cone sampling, no NEE transmittance tracking, no shadow march.
     # Sizes the NEE share of a frame for the perf decomposition in

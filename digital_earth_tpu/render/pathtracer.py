@@ -1532,13 +1532,29 @@ def run_bounces(
             )
             alive = alive & ~ckilled
 
-        # workload class of the lane's next bounce (stage-compaction bin)
+        # workload class of the lane's next bounce (stage-compaction bin).
+        # work_bins=5 additionally splits the two scatter classes by a
+        # next-bounce cost proxy — tracking loops run at worst-lane pace,
+        # so the finer the tiles' iteration-profile uniformity, the less
+        # a tile waits on its slowest lane: cloud lanes by slab-core vs
+        # slab-edge position (core = dense shape function = many Woodcock
+        # steps), gas lanes by low vs high altitude (low = denser gas and
+        # march-adjacent terrain).
         in_cloud = (iid == C.CLOUD_ID) | (iid == C.ISOTROPIC_CLOUD_ID)
-        work_class = jnp.where(
-            alive,
-            jnp.where(scatter & in_cloud, 0, jnp.where(scatter, 1, 2)),
-            work_class,
-        )
+        if cfg.work_bins >= 5:
+            r_next = mu.length(new_pos)
+            slab_mid = 0.5 * (C.CLOUDS_LOWER_LIMIT + C.CLOUDS_UPPER_LIMIT)
+            slab_half = 0.5 * (C.CLOUDS_UPPER_LIMIT - C.CLOUDS_LOWER_LIMIT)
+            cloud_core = jnp.abs(r_next - slab_mid) < 0.5 * slab_half
+            gas_low = r_next < C.PLANET_R + 30e3
+            cls = jnp.where(
+                scatter & in_cloud,
+                jnp.where(cloud_core, 0, 1),
+                jnp.where(scatter, jnp.where(gas_low, 2, 3), 4),
+            )
+        else:
+            cls = jnp.where(scatter & in_cloud, 0, jnp.where(scatter, 1, 2))
+        work_class = jnp.where(alive, cls, work_class)
 
         return (
             bounce + 1, new_pos, new_dir, new_thr, radiance, alive,

@@ -2,7 +2,12 @@
 """Instrument the land-march loop: per-iteration done-fraction and the
 per-lane probe-count histogram on a realistic tail-stage wavefront, plus
 sensitivity of the hit results to the probe budget. Diagnoses the
-worst-lane tail that paces every march while_loop."""
+worst-lane tail that paces every march while_loop.
+
+NOTE: this replicates a FROZEN round-2 copy of the loop (no stall
+termination, tight-mip skip, or exact ocean hit), kept for budget-
+sensitivity archaeology. For the production loop's real iteration curve
+use tools/march_diag.py, which records intersect_land itself."""
 
 import argparse
 import os

@@ -78,13 +78,48 @@ def main():
         "floor10": {"march_floor_frac": 0.10},
         "floor05": {"march_floor_frac": 0.05},
         "floor02": {"march_floor_frac": 0.02},
+        # stage-1 tile size (pixel-block lanes; 2.9 ms device work per
+        # 1920-lane tile is while-carry/op-overhead-bound — sweep in ONE
+        # process: cross-process TPU-pool variance is ~20%, bigger than
+        # the effects under test)
+        "tile1920": {"tile_pixels": 2048},
+        "tile3840": {"tile_pixels": 4096},
+        "tile7200": {"tile_pixels": 8192},
+        "tile16200": {"tile_pixels": 16384},
+        "tile28800": {"tile_pixels": 32768},
+        "tile64800": {"tile_pixels": 65536},
+        # tail compact-tile granularity at fixed 1920-lane stage-1 tiles
+        # (the divisor-aware ctile makes these independent axes at 1080p;
+        # achieved ctile in parens): finer tail tiles skip dead tiles
+        # sooner via the per-tile cond, coarser amortize op overhead
+        "t1920_ct2k": {"tile_pixels": 2048, "compact_tile": 2048},
+        "t1920_ct6k": {"tile_pixels": 2048, "compact_tile": 8192},
+        "t1920_ct12k": {"tile_pixels": 2048, "compact_tile": 16384},
+        "t1920_ct25k": {"tile_pixels": 2048, "compact_tile": 32768},
+        "t1920_ct1280": {"tile_pixels": 2048, "compact_tile": 1280},
+        "t1920_ct640": {"tile_pixels": 2048, "compact_tile": 640},
+        "t1280_ct1280": {"tile_pixels": 1280, "compact_tile": 1280},
+        "t1920_ct1920_ce3": {"tile_pixels": 2048, "compact_tile": 2048,
+                             "compact_every": 3},
+        "t1920_ct1920_ce4": {"tile_pixels": 2048, "compact_tile": 2048,
+                             "compact_every": 4},
+        "t1920_ct1920_wb5": {"tile_pixels": 2048, "compact_tile": 2048,
+                             "work_bins": 5},
+        "t1920_ct1280_wb5": {"tile_pixels": 2048, "compact_tile": 1280,
+                             "work_bins": 5},
+        "t1920_ce4_wb5": {"tile_pixels": 2048, "compact_tile": 2048,
+                          "compact_every": 4, "work_bins": 5},
+        "t1920_ce2": {"tile_pixels": 2048, "compact_tile": 2048,
+                      "compact_every": 2},
     }
 
     for name in args.variants.split(","):
-        cfg = TraceConfig(**variants[name])
+        over = dict(variants[name])
+        tile = over.pop("tile_pixels", args.tile)
+        cfg = TraceConfig(**over)
         r = Renderer(
             image_res=(args.width, args.height), atlas=atlas,
-            tile_pixels=args.tile, cfg=cfg,
+            tile_pixels=tile, cfg=cfg,
         )
         r.set_camera_pos(35963490.23139822, 12765367.037276791, -42445899.29884433)
         r.set_look_at(23201393.603171505, 8394073.279136525, -26074562.13501193)
