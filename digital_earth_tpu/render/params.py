@@ -182,3 +182,19 @@ class TraceConfig:
     # Sizes the NEE share of a frame for the perf decomposition in
     # docs/PERFORMANCE.md; never enabled in a shipping path.
     nee_off: bool = False
+    # Straggler narrowing of the per-lane while loops (march + all three
+    # trackers): after loop_narrow_after full-width iterations, the still-
+    # live lanes are compacted into a loop_narrow-lane buffer and the loop
+    # finishes there — bit-identical output (the loop bodies are per-lane
+    # element-wise with per-lane RNG; narrowing only changes which lanes
+    # share a gather op). MEASURED NEGATIVE on TPU and shipped OFF: at the
+    # production 1920-lane tiles a loop iteration's cost is width-
+    # INSENSITIVE (fixed op overhead dominates below ~2k lanes — the
+    # microbench gather price rises from 0.8 ns/tap at 1920 lanes to
+    # 5.8 ns at 256), so narrowing saved nothing and its permute/cond
+    # overhead cost 22%: anchored Apollo 1080p sweep read 5.90 s/spp
+    # (narrow 256) / 5.76 (128) / 6.47 (512) vs 4.84 off. Kept as a knob
+    # because the economics flip if tiles ever get much wider than the
+    # fixed-cost knee. 0 disables.
+    loop_narrow: int = 0
+    loop_narrow_after: int = 2

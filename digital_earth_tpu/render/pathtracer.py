@@ -123,6 +123,85 @@ _MIP_VALID_FINE = 25e3
 _MIP_VALID_COARSE = 115e3
 
 
+def _run_narrowed(cond, make_body, ctx, init, done_index, cfg: TraceConfig,
+                  wide_cap=None):
+    """Run a masked per-lane while_loop with straggler narrowing.
+
+    Every hot loop in this module is per-lane element-wise: a lane's next
+    state depends only on its own state, the loop's shared scalar iteration
+    counter, and per-lane closed-over context — so after a few full-width
+    iterations the few still-live stragglers can be compacted into a
+    ``cfg.loop_narrow``-lane buffer and finished there, bit-identically.
+    Per-iteration cost (the batched texture gather + VPU select math +
+    carry) scales with lane width while the trip count is set by the WORST
+    lane (p99 of march lanes finish in <=2 sweeps; the stragglers used to
+    drag all 1920 lanes through up to 16), so the straggler tail runs
+    ~width/narrow times cheaper.
+
+    cond: width-agnostic loop condition ((i < budget) & jnp.any(~done)).
+    make_body: ctx-pytree -> loop body; ctx leaves are (n, ...) per-lane
+        arrays the body closes over (rays, keys, bounds). Lane-independent
+        values (textures, configs, scalars) must stay closed over in
+        make_body itself — the helper only re-indexes ctx and state leaves
+        whose leading axis is the lane axis.
+    init: loop carry; leaves are scalars or (n, ...) per-lane arrays, with
+        the (n,) done mask at ``done_index``.
+    wide_cap: iteration-counter value at which to narrow (defaults to
+        ``cfg.loop_narrow_after``; the march counts probes, not sweeps).
+    If more than loop_narrow lanes are live at the switch, that call
+    finishes at full width instead (lax.cond, decided per tile at runtime).
+    """
+    n = init[done_index].shape[0]
+    narrow = cfg.loop_narrow
+    if not narrow or narrow >= n:
+        return jax.lax.while_loop(cond, make_body(ctx), init)
+
+    cap = cfg.loop_narrow_after if wide_cap is None else wide_cap
+    body = make_body(ctx)
+    state = jax.lax.while_loop(
+        lambda s: (s[0] < cap) & cond(s), body, tuple(init)
+    )
+    done = state[done_index]
+    undone = ~done
+    n_undone = jnp.sum(undone)
+
+    def is_lane(a):
+        return getattr(a, "ndim", 0) >= 1 and a.shape[0] == n
+
+    def narrow_path(state):
+        rank = jnp.cumsum(undone) - 1
+        dest = jnp.where(undone, rank, narrow).astype(jnp.int32)
+        slot_src = jnp.zeros((narrow,), jnp.int32).at[dest].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop"
+        )
+        slot_live = jnp.arange(narrow) < n_undone
+        gidx = jnp.where(slot_live, slot_src, 0)
+        take = lambda a: a[gidx] if is_lane(a) else a
+        st_n = jax.tree_util.tree_map(take, state)
+        # pad slots replay lane 0 but are marked done (masked out of the
+        # loop) and their results are dropped by the out-of-range scatter
+        st_n = (
+            st_n[:done_index]
+            + (st_n[done_index] | ~slot_live,)
+            + st_n[done_index + 1:]
+        )
+        st_n = jax.lax.while_loop(
+            cond, make_body(jax.tree_util.tree_map(take, ctx)), st_n
+        )
+        sidx = jnp.where(slot_live, gidx, n).astype(jnp.int32)
+
+        def put(a, b):
+            return a.at[sidx].set(b, mode="drop") if is_lane(a) else b
+
+        return jax.tree_util.tree_map(put, state, st_n)
+
+    def wide_path(state):
+        return jax.lax.while_loop(cond, body, state)
+
+    return jax.lax.cond(n_undone <= narrow, narrow_path, wide_path, state)
+
+
+
 def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
                    t_cap=None, any_hit=False):
     """Sphere-march against the displaced sphere with regional analytic skips.
@@ -211,104 +290,112 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
         i, _, _, done, _, _ = s
         return (i < cfg.land_march_steps) & jnp.any(~done)
 
-    def body(s):
-        i, t, stride, done, missed, stall = s
-        ts = t[None, :] + arange_k * stride[None, :]  # (k, n) probe params
-        ro = pos[None] + ts[..., None] * direction[None]
-        sample = tx.sample_sphere_texture(topo, ro, bilinear=cfg.bilinear_tracking)
-        f = mu.length(ro) - C.PLANET_R - scale * sample[..., 0]
+    def make_body(ctx):
+        pos, direction, miss_beyond = ctx
 
-        # certified regional skips against the two mip-bound spheres
-        def regional_skip(mip_val, valid):
-            r_bound = C.PLANET_R + scale * mip_val
-            b_near, b_far = mu.rsi(ro, direction, r_bound)
-            return jnp.where(
-                b_near > 0.0,
-                jnp.minimum(b_near, valid),
-                jnp.where(b_far < 0.0, valid, 0.0),
+        def body(s):
+            i, t, stride, done, missed, stall = s
+            ts = t[None, :] + arange_k * stride[None, :]  # (k, n) probe params
+            ro = pos[None] + ts[..., None] * direction[None]
+            sample = tx.sample_sphere_texture(topo, ro, bilinear=cfg.bilinear_tracking)
+            f = mu.length(ro) - C.PLANET_R - scale * sample[..., 0]
+
+            # certified regional skips against the two mip-bound spheres
+            def regional_skip(mip_val, valid):
+                r_bound = C.PLANET_R + scale * mip_val
+                b_near, b_far = mu.rsi(ro, direction, r_bound)
+                return jnp.where(
+                    b_near > 0.0,
+                    jnp.minimum(b_near, valid),
+                    jnp.where(b_far < 0.0, valid, 0.0),
+                )
+
+            s_region = jnp.maximum(
+                jnp.maximum(
+                    regional_skip(sample[..., 1], _MIP_VALID_FINE),
+                    regional_skip(sample[..., 2], _MIP_VALID_COARSE),
+                ),
+                # tight 8 km bound (channel 3): least dilation, so it clears
+                # valley/ocean rays that the 25 km-dilated fine bound keeps
+                # hostage to distant peaks — certified progress exactly where
+                # the step floor otherwise binds
+                regional_skip(sample[..., 3], _CLOUD_VALID),
             )
+            step = jnp.where(
+                f < 0.0, f, jnp.maximum(jnp.maximum(f, s_region), step_floor)
+            )  # (k, n)
+            # Exact analytic ocean hit: a ZERO regional max (the displacement is
+            # uint8 >= 0, so zero max means the terrain IS the base sphere
+            # throughout the bound's validity ball) turns the probe's
+            # base-sphere intersection into the exact surface hit — no
+            # floor-step crawl to the relative epsilon. Grazing rays over open
+            # ocean (most of an Apollo/florida frame) terminate on their first
+            # in-ball probe; exact, so strictly tighter than the march's
+            # |f| < t*1e-4 convergence slack.
+            p_near, _ = mu.rsi(ro, direction, C.PLANET_R)
 
-        s_region = jnp.maximum(
-            jnp.maximum(
-                regional_skip(sample[..., 1], _MIP_VALID_FINE),
-                regional_skip(sample[..., 2], _MIP_VALID_COARSE),
-            ),
-            # tight 8 km bound (channel 3): least dilation, so it clears
-            # valley/ocean rays that the 25 km-dilated fine bound keeps
-            # hostage to distant peaks — certified progress exactly where
-            # the step floor otherwise binds
-            regional_skip(sample[..., 3], _CLOUD_VALID),
-        )
-        step = jnp.where(
-            f < 0.0, f, jnp.maximum(jnp.maximum(f, s_region), step_floor)
-        )  # (k, n)
-        # Exact analytic ocean hit: a ZERO regional max (the displacement is
-        # uint8 >= 0, so zero max means the terrain IS the base sphere
-        # throughout the bound's validity ball) turns the probe's
-        # base-sphere intersection into the exact surface hit — no
-        # floor-step crawl to the relative epsilon. Grazing rays over open
-        # ocean (most of an Apollo/florida frame) terminate on their first
-        # in-ball probe; exact, so strictly tighter than the march's
-        # |f| < t*1e-4 convergence slack.
-        p_near, _ = mu.rsi(ro, direction, C.PLANET_R)
+            def exact_base_hit(mip_val, valid):
+                return (mip_val <= 0.0) & (p_near > 0.0) & (p_near <= valid)
 
-        def exact_base_hit(mip_val, valid):
-            return (mip_val <= 0.0) & (p_near > 0.0) & (p_near <= valid)
+            ocean_hit = (
+                exact_base_hit(sample[..., 1], _MIP_VALID_FINE)
+                | exact_base_hit(sample[..., 2], _MIP_VALID_COARSE)
+                | exact_base_hit(sample[..., 3], _CLOUD_VALID)
+            )
+            converged = jnp.abs(f) < ts * 1e-4
+            # the converged probe's parameter: the exact base-sphere hit for
+            # ocean terminations, the probe position otherwise
+            t_conv = jnp.where(converged, ts, ts + p_near)
+            converged = converged | ocean_hit
+            if any_hit:
+                converged = converged | (f < 0.0)
+                t_conv = jnp.where(f < 0.0, ts, t_conv)
+            out = ts > miss_beyond[None, :]
+            # probe j stops the sweep if it terminates (converged/left the shell)
+            # or cannot certify the stride to probe j+1
+            terminal = converged | out
+            stop_k = terminal | (step < stride[None, :])
+            any_stop = jnp.any(stop_k, axis=0)
+            first = jnp.argmax(stop_k, axis=0)
+            pick = (arange_k == first[None, :].astype(jnp.float32)).astype(step.dtype)
+            psel = lambda a: jnp.sum(a * pick, axis=0)
 
-        ocean_hit = (
-            exact_base_hit(sample[..., 1], _MIP_VALID_FINE)
-            | exact_base_hit(sample[..., 2], _MIP_VALID_COARSE)
-            | exact_base_hit(sample[..., 3], _CLOUD_VALID)
-        )
-        converged = jnp.abs(f) < ts * 1e-4
-        # the converged probe's parameter: the exact base-sphere hit for
-        # ocean terminations, the probe position otherwise
-        t_conv = jnp.where(converged, ts, ts + p_near)
-        converged = converged | ocean_hit
-        if any_hit:
-            converged = converged | (f < 0.0)
-            t_conv = jnp.where(f < 0.0, ts, t_conv)
-        out = ts > miss_beyond[None, :]
-        # probe j stops the sweep if it terminates (converged/left the shell)
-        # or cannot certify the stride to probe j+1
-        terminal = converged | out
-        stop_k = terminal | (step < stride[None, :])
-        any_stop = jnp.any(stop_k, axis=0)
-        first = jnp.argmax(stop_k, axis=0)
-        pick = (arange_k == first[None, :].astype(jnp.float32)).astype(step.dtype)
-        psel = lambda a: jnp.sum(a * pick, axis=0)
+            t_stop = psel(jnp.where(converged, t_conv, ts))
+            step_stop = psel(step)
+            conv_stop = psel(converged.astype(step.dtype)) > 0.5
+            out_stop = psel(out.astype(step.dtype)) > 0.5
+            # stopped lanes: converged stay at the (exact-or-probe) parameter;
+            # short-steppers advance (or retreat) by their own step. Full sweeps
+            # take the last probe's full step on top of the chained strides.
+            t_stopped = jnp.where(conv_stop | out_stop, t_stop, t_stop + step_stop)
+            t_full = ts[-1] + step[-1]
+            t_new = jnp.where(any_stop, t_stopped, t_full)
+            applied = jnp.where(any_stop, step_stop, step[-1])
+            stride_new = jnp.maximum(applied, step_floor)
 
-        t_stop = psel(jnp.where(converged, t_conv, ts))
-        step_stop = psel(step)
-        conv_stop = psel(converged.astype(step.dtype)) > 0.5
-        out_stop = psel(out.astype(step.dtype)) > 0.5
-        # stopped lanes: converged stay at the (exact-or-probe) parameter;
-        # short-steppers advance (or retreat) by their own step. Full sweeps
-        # take the last probe's full step on top of the chained strides.
-        t_stopped = jnp.where(conv_stop | out_stop, t_stop, t_stop + step_stop)
-        t_full = ts[-1] + step[-1]
-        t_new = jnp.where(any_stop, t_stopped, t_full)
-        applied = jnp.where(any_stop, step_stop, step[-1])
-        stride_new = jnp.maximum(applied, step_floor)
+            newly_done = any_stop & (conv_stop | out_stop)
+            missed = missed | ((~done) & any_stop & out_stop & ~conv_stop)
+            t_next = jnp.where(done, t, jnp.where(newly_done, t_stop, t_new))
+            # stall termination: oscillating boundary lanes (see docstring)
+            stalled_now = (~done) & (~newly_done) & (
+                t_next - t < step_floor * 0.25
+            )
+            stall = jnp.where(stalled_now, stall + 1, 0)
+            stuck = stall >= 2  # terminate as a hit at the current t
+            stride = jnp.where(done | newly_done | stuck, stride, stride_new)
+            done = done | newly_done | stuck
+            return i + k, t_next, stride, done, missed, stall
 
-        newly_done = any_stop & (conv_stop | out_stop)
-        missed = missed | ((~done) & any_stop & out_stop & ~conv_stop)
-        t_next = jnp.where(done, t, jnp.where(newly_done, t_stop, t_new))
-        # stall termination: oscillating boundary lanes (see docstring)
-        stalled_now = (~done) & (~newly_done) & (
-            t_next - t < step_floor * 0.25
-        )
-        stall = jnp.where(stalled_now, stall + 1, 0)
-        stuck = stall >= 2  # terminate as a hit at the current t
-        stride = jnp.where(done | newly_done | stuck, stride, stride_new)
-        done = done | newly_done | stuck
-        return i + k, t_next, stride, done, missed, stall
+        return body
 
-    _, t, _, _, missed, _ = jax.lax.while_loop(
-        cond, body, (
-            0, t0, jnp.full((n,), step_floor), ~may_hit, ~may_hit,
-            jnp.zeros((n,), dtype=jnp.int32),
-        )
+    init = (
+        jnp.int32(0), t0, jnp.full((n,), step_floor), ~may_hit, ~may_hit,
+        jnp.zeros((n,), dtype=jnp.int32),
+    )
+    _, t, _, _, missed, _ = _run_narrowed(
+        cond, make_body, (pos, direction, miss_beyond), init,
+        done_index=3, cfg=cfg,
+        wide_cap=cfg.loop_narrow_after * k,  # the march counts probes
     )
     # reference semantics: anything that neither left the shell nor exceeded
     # the cap distance counts as a hit (pathtracer.py:46)
@@ -432,56 +519,65 @@ def _delta_track_rmo(
         i, done = s[0], s[2]
         return (i < cfg.max_tracking_steps) & jnp.any(~done)
 
-    def body(s):
-        i, t, done, event, iid = s
-        u = rng.uniform(rng.fold(keys, i), (3, k))  # (3, k, n)
-        # local hero majorant over the remaining segment [t, t_max]
-        r_min = atm.segment_min_radius(rp, t + xp, x_end)
-        env = atm.density_envelope(r_min - C.PLANET_R)  # (n, 3)
-        inv_max = 1.0 / jnp.maximum(jnp.sum(ext_h * env, axis=-1), 1e-20)
-        steps = -jnp.log(jnp.maximum(u[0], 1e-12)) * inv_max  # (k, n)
-        ts = t[None, :] + jnp.cumsum(steps, axis=0)
-        pos = ray_pos[None] + jnp.minimum(ts, t_max_safe)[..., None] * ray_dir[None]
-        dens = vol.get_density(vol.get_elevation(pos))  # (k, n, 3)
-        total_h = jnp.einsum("knc,nc->kn", dens, ext_h)
-        over_k = ts >= t_max
-        real_k = u[1] < total_h * inv_max
-        stop_k = over_k | real_k
-        any_stop = jnp.any(stop_k, axis=0)
-        first = jnp.argmax(stop_k, axis=0)  # first terminal probe
-        pick = (arange_k == first[None, :]).astype(ts.dtype)
-        psel = lambda a: jnp.sum(a * pick, axis=0)
-        t_sel = jnp.where(any_stop, psel(ts), ts[-1])
-        over = psel(over_k.astype(ts.dtype)) > 0.5
-        # species CMF over (rayleigh, mie, ozone) at the stopping probe,
-        # decided by the hero extinctions (reference pathtracer.py:102-106)
-        ext_stop = jnp.einsum("kn,knc->nc", pick, dens) * ext_h  # (n, 3)
-        r = psel(u[1]) / inv_max
-        c0 = ext_stop[:, 0]
-        c01 = c0 + ext_stop[:, 1]
-        iid_new = jnp.where(
-            r < c0, C.RAYLEIGH_ID, jnp.where(r < c01, C.MIE_ID, C.OZONE_ID)
-        )
-        # albedo Russian roulette: scatter vs absorb
-        # (reference pathtracer.py:108-111, 263-270)
-        scatters = psel(u[2]) < _ALBEDOS[iid_new]
-        hit = (~done) & any_stop & (~over)
-        event = jnp.where(
-            hit, jnp.where(scatters, SCATTER_EVENT, ABSORB_EVENT), event
-        )
-        iid = jnp.where(hit, iid_new, iid)
-        t = jnp.where(done, t, t_sel)
-        done = done | ((~done) & any_stop)
-        return i + 1, t, done, event, iid
+    def make_body(ctx):
+        keys, ray_pos, ray_dir, t_max, t_max_safe, ext_h, rp, xp, x_end = ctx
+
+        def body(s):
+            i, t, done, event, iid = s
+            u = rng.uniform(rng.fold(keys, i), (3, k))  # (3, k, n)
+            # local hero majorant over the remaining segment [t, t_max]
+            r_min = atm.segment_min_radius(rp, t + xp, x_end)
+            env = atm.density_envelope(r_min - C.PLANET_R)  # (n, 3)
+            inv_max = 1.0 / jnp.maximum(jnp.sum(ext_h * env, axis=-1), 1e-20)
+            steps = -jnp.log(jnp.maximum(u[0], 1e-12)) * inv_max  # (k, n)
+            ts = t[None, :] + jnp.cumsum(steps, axis=0)
+            pos = ray_pos[None] + jnp.minimum(ts, t_max_safe)[..., None] * ray_dir[None]
+            dens = vol.get_density(vol.get_elevation(pos))  # (k, n, 3)
+            total_h = jnp.einsum("knc,nc->kn", dens, ext_h)
+            over_k = ts >= t_max
+            real_k = u[1] < total_h * inv_max
+            stop_k = over_k | real_k
+            any_stop = jnp.any(stop_k, axis=0)
+            first = jnp.argmax(stop_k, axis=0)  # first terminal probe
+            pick = (arange_k == first[None, :]).astype(ts.dtype)
+            psel = lambda a: jnp.sum(a * pick, axis=0)
+            t_sel = jnp.where(any_stop, psel(ts), ts[-1])
+            over = psel(over_k.astype(ts.dtype)) > 0.5
+            # species CMF over (rayleigh, mie, ozone) at the stopping probe,
+            # decided by the hero extinctions (reference pathtracer.py:102-106)
+            ext_stop = jnp.einsum("kn,knc->nc", pick, dens) * ext_h  # (n, 3)
+            r = psel(u[1]) / inv_max
+            c0 = ext_stop[:, 0]
+            c01 = c0 + ext_stop[:, 1]
+            iid_new = jnp.where(
+                r < c0, C.RAYLEIGH_ID, jnp.where(r < c01, C.MIE_ID, C.OZONE_ID)
+            )
+            # albedo Russian roulette: scatter vs absorb
+            # (reference pathtracer.py:108-111, 263-270)
+            scatters = psel(u[2]) < _ALBEDOS[iid_new]
+            hit = (~done) & any_stop & (~over)
+            event = jnp.where(
+                hit, jnp.where(scatters, SCATTER_EVENT, ABSORB_EVENT), event
+            )
+            iid = jnp.where(hit, iid_new, iid)
+            t = jnp.where(done, t, t_sel)
+            done = done | ((~done) & any_stop)
+            return i + 1, t, done, event, iid
+
+        return body
 
     init = (
-        0,
+        jnp.int32(0),
         t_start,
         ~valid,
         jnp.full((n,), NULL_EVENT, dtype=jnp.int32),
         jnp.zeros((n,), dtype=jnp.int32),
     )
-    _, t, _, event, iid = jax.lax.while_loop(cond, body, init)
+    _, t, _, event, iid = _run_narrowed(
+        cond, make_body,
+        (keys, ray_pos, ray_dir, t_max, t_max_safe, ext_h, rp, xp, x_end),
+        init, done_index=2, cfg=cfg,
+    )
     return event, t, iid
 
 
@@ -571,25 +667,34 @@ def _ratio_track_rmo(
         i, _, done, _ = s
         return (i < cfg.max_tracking_steps) & jnp.any(~done)
 
-    def body(s):
-        i, t, done, trans = s
-        u = rng.uniform(rng.fold(keys, i), (k,))  # (k, n)
-        steps = -jnp.log(jnp.maximum(u, 1e-12)) * inv_max
-        ts = t[None, :] + jnp.cumsum(steps, axis=0)
-        pos = ray_pos[None] + jnp.minimum(ts, t_max_safe)[..., None] * ray_dir[None]
-        dens = vol.get_density(vol.get_elevation(pos))  # (k, n, 3)
-        total = jnp.einsum("nlc,knc->knl", extinctions, dens)  # (k, n, L)
-        inside = (ts < t_max) & (~done)[None, :]
-        factors = jnp.where(
-            inside[..., None], 1.0 - total * inv_max[None, :, None], 1.0
-        )
-        trans = trans * jnp.prod(factors, axis=0)
-        t = jnp.where(done, t, ts[-1])
-        done = done | (ts[-1] >= t_max) | (jnp.max(trans, axis=-1) < 1e-5)
-        return i + 1, t, done, trans
+    def make_body(ctx):
+        keys, ray_pos, ray_dir, t_max, t_max_safe, extinctions, inv_max = ctx
 
-    init = (0, t_start, ~valid, jnp.ones((n, L)))
-    _, _, _, trans = jax.lax.while_loop(cond, body, init)
+        def body(s):
+            i, t, done, trans = s
+            u = rng.uniform(rng.fold(keys, i), (k,))  # (k, n)
+            steps = -jnp.log(jnp.maximum(u, 1e-12)) * inv_max
+            ts = t[None, :] + jnp.cumsum(steps, axis=0)
+            pos = ray_pos[None] + jnp.minimum(ts, t_max_safe)[..., None] * ray_dir[None]
+            dens = vol.get_density(vol.get_elevation(pos))  # (k, n, 3)
+            total = jnp.einsum("nlc,knc->knl", extinctions, dens)  # (k, n, L)
+            inside = (ts < t_max) & (~done)[None, :]
+            factors = jnp.where(
+                inside[..., None], 1.0 - total * inv_max[None, :, None], 1.0
+            )
+            trans = trans * jnp.prod(factors, axis=0)
+            t = jnp.where(done, t, ts[-1])
+            done = done | (ts[-1] >= t_max) | (jnp.max(trans, axis=-1) < 1e-5)
+            return i + 1, t, done, trans
+
+        return body
+
+    init = (jnp.int32(0), t_start, ~valid, jnp.ones((n, L)))
+    _, _, _, trans = _run_narrowed(
+        cond, make_body,
+        (keys, ray_pos, ray_dir, t_max, t_max_safe, extinctions, inv_max),
+        init, done_index=2, cfg=cfg,
+    )
     return trans
 
 
@@ -648,195 +753,200 @@ def _track_cloud(
     t_max_safe = jnp.maximum(t_max, 0.0)
     arange_k = jnp.arange(k)[:, None]
 
-    def majorant(mip_val):
-        """Per-lane local majorant from a fine-mip value (0 where clear)."""
-        return jnp.where(
-            mip_val > 0.0,
-            ext_w * C.CLOUDS_DENSITY * jnp.maximum(mip_val, 0.4),
-            0.0,
-        )
-
     def cond(s):
         i, done = s[0], s[2]
         return (i < cfg.max_tracking_steps) & jnp.any(~done)
 
-    def body(s):
-        i, t, done, t_fetch, sig_loc, stride, event, trans = s
-        u = rng.uniform(rng.fold(keys, i), (3, k))  # (3, k, n)
+    def make_body(ctx):
+        keys, ray_pos, ray_dir, t_max, t_max_safe, ext_w = ctx
 
-        skipping = sig_loc <= 0.0
-        budget_end = jnp.minimum(t_fetch + _CLOUD_VALID, t_max)
-
-        # probe positions: skip-probes at the lane's stride (first at the
-        # current position: its tap re-certifies the zone ahead), or
-        # speculative Woodcock steps
-        skip_ts = t[None, :] + arange_k.astype(jnp.float32) * stride[None, :]
-        steps = -jnp.log(jnp.maximum(u[0], 1e-12)) / jnp.maximum(sig_loc, 1e-20)
-        wood_ts = t[None, :] + jnp.cumsum(steps, axis=0)
-        ts = jnp.where(skipping[None, :], skip_ts, wood_ts)
-        crossed = jnp.where(
-            skipping[None, :], ts >= t_max, ts >= budget_end[None, :]
-        )
-        ts_c = jnp.minimum(
-            ts, jnp.where(skipping, t_max_safe, jnp.minimum(budget_end, t_max_safe))[None, :]
-        )
-        pos = ray_pos[None] + ts_c[..., None] * ray_dir[None]
-        sample = tx.sample_sphere_texture(
-            clouds_tex, pos, bilinear=cfg.bilinear_tracking
-        )  # (k, n, 4): column height, tight mip, coarse mip, wide mip
-        fine_ext = ext_w[None, :] * _cloud_shape_density(
-            sample[..., 0], mu.length(pos)
-        )
-        mip_f = sample[..., 1]
-        mip_c = sample[..., 2]
-        mip_w_ = sample[..., 3]
-
-        # --- skip branch: jump to the first occupied probe at the lane's
-        # skip level; each stride level tests its own certification bound
-        lvl_coarse = stride > _CLOUD_SKIP_WIDE * 1.5
-        lvl_wide = (~lvl_coarse) & (stride > _CLOUD_SKIP_FINE * 1.5)
-        probe_occ = jnp.where(
-            lvl_coarse[None, :],
-            mip_c > 0.0,
-            jnp.where(lvl_wide[None, :], mip_w_ > 0.0, mip_f > 0.0),
-        )
-        skip_stop = probe_occ | crossed
-        skip_any = jnp.any(skip_stop, axis=0)
-        skip_first = jnp.argmax(skip_stop, axis=0)
-        pickf = (arange_k == skip_first[None, :]).astype(ts.dtype)
-        skip_t = jnp.where(
-            skip_any, jnp.sum(ts_c * pickf, axis=0), t + k * stride
-        )
-        skip_mip_f = jnp.where(
-            skip_any, jnp.sum(mip_f * pickf, axis=0), mip_f[-1]
-        )
-        skip_mip_c = jnp.where(
-            skip_any, jnp.sum(mip_c * pickf, axis=0), mip_c[-1]
-        )
-        skip_mip_w = jnp.where(
-            skip_any, jnp.sum(mip_w_ * pickf, axis=0), mip_w_[-1]
-        )
-
-        # --- tracking branch: first real collision or budget crossing
-        ratio = fine_ext / jnp.maximum(sig_loc[None, :], 1e-20)
-        real_k = (u[1] < ratio) & (~crossed)
-        stop_k = real_k | crossed
-        any_stop = jnp.any(stop_k, axis=0)
-        first = jnp.argmax(stop_k, axis=0)
-        pick = (arange_k == first[None, :]).astype(ts.dtype)
-        psel = lambda a: jnp.sum(a * pick, axis=0)
-        if is_delta:
-            wood_t = jnp.where(any_stop, psel(ts_c), ts_c[-1])
-            wood_real = any_stop & (psel(real_k.astype(ts.dtype)) > 0.5)
-            # refresh the majorant from the tap at the stopping/last position
-            wood_mip_f = jnp.where(any_stop, psel(mip_f), mip_f[-1])
-            wood_mip_c = jnp.where(any_stop, psel(mip_c), mip_c[-1])
-            wood_mip_w = jnp.where(any_stop, psel(mip_w_), mip_w_[-1])
-        else:
-            # ratio mode: every in-budget probe contributes a factor; advance
-            # past all of them (to the budget boundary if it was crossed)
-            any_crossed = jnp.any(crossed, axis=0)
-            first_cross = jnp.argmax(crossed, axis=0)
-            pick_c = (arange_k == first_cross[None, :]).astype(ts.dtype)
-            wood_t = jnp.where(
-                any_crossed, jnp.sum(ts_c * pick_c, axis=0), ts_c[-1]
+        def majorant(mip_val):
+            """Per-lane local majorant from a fine-mip value (0 = clear)."""
+            return jnp.where(
+                mip_val > 0.0,
+                ext_w * C.CLOUDS_DENSITY * jnp.maximum(mip_val, 0.4),
+                0.0,
             )
-            wood_real = jnp.zeros((n,), bool)
-            wood_mip_f = jnp.where(
-                any_crossed, jnp.sum(mip_f * pick_c, axis=0), mip_f[-1]
-            )
-            wood_mip_c = jnp.where(
-                any_crossed, jnp.sum(mip_c * pick_c, axis=0), mip_c[-1]
-            )
-            wood_mip_w = jnp.where(
-                any_crossed, jnp.sum(mip_w_ * pick_c, axis=0), mip_w_[-1]
-            )
-            factors = jnp.where(crossed, 1.0, 1.0 - ratio)
-            block = jnp.prod(factors, axis=0)
 
-        step_lane = (~done) & (~skipping)
-        skip_lane = (~done) & skipping
+        def body(s):
+            i, t, done, t_fetch, sig_loc, stride, event, trans = s
+            u = rng.uniform(rng.fold(keys, i), (3, k))  # (3, k, n)
 
-        t_new = jnp.where(skip_lane, skip_t, jnp.where(step_lane, wood_t, t))
-        new_mip_f = jnp.where(skip_lane, skip_mip_f, wood_mip_f)
-        new_mip_c = jnp.where(skip_lane, skip_mip_c, wood_mip_c)
-        new_mip_w = jnp.where(skip_lane, skip_mip_w, wood_mip_w)
-        moved = skip_lane | step_lane
-        sig_new = jnp.where(moved, majorant(new_mip_f), sig_loc)
-        stride_new = jnp.where(
-            moved,
-            jnp.where(
-                new_mip_c <= 0.0,
-                _CLOUD_SKIP_COARSE,
+            skipping = sig_loc <= 0.0
+            budget_end = jnp.minimum(t_fetch + _CLOUD_VALID, t_max)
+
+            # probe positions: skip-probes at the lane's stride (first at the
+            # current position: its tap re-certifies the zone ahead), or
+            # speculative Woodcock steps
+            skip_ts = t[None, :] + arange_k.astype(jnp.float32) * stride[None, :]
+            steps = -jnp.log(jnp.maximum(u[0], 1e-12)) / jnp.maximum(sig_loc, 1e-20)
+            wood_ts = t[None, :] + jnp.cumsum(steps, axis=0)
+            ts = jnp.where(skipping[None, :], skip_ts, wood_ts)
+            crossed = jnp.where(
+                skipping[None, :], ts >= t_max, ts >= budget_end[None, :]
+            )
+            ts_c = jnp.minimum(
+                ts, jnp.where(skipping, t_max_safe, jnp.minimum(budget_end, t_max_safe))[None, :]
+            )
+            pos = ray_pos[None] + ts_c[..., None] * ray_dir[None]
+            sample = tx.sample_sphere_texture(
+                clouds_tex, pos, bilinear=cfg.bilinear_tracking
+            )  # (k, n, 4): column height, tight mip, coarse mip, wide mip
+            fine_ext = ext_w[None, :] * _cloud_shape_density(
+                sample[..., 0], mu.length(pos)
+            )
+            mip_f = sample[..., 1]
+            mip_c = sample[..., 2]
+            mip_w_ = sample[..., 3]
+
+            # --- skip branch: jump to the first occupied probe at the lane's
+            # skip level; each stride level tests its own certification bound
+            lvl_coarse = stride > _CLOUD_SKIP_WIDE * 1.5
+            lvl_wide = (~lvl_coarse) & (stride > _CLOUD_SKIP_FINE * 1.5)
+            probe_occ = jnp.where(
+                lvl_coarse[None, :],
+                mip_c > 0.0,
+                jnp.where(lvl_wide[None, :], mip_w_ > 0.0, mip_f > 0.0),
+            )
+            skip_stop = probe_occ | crossed
+            skip_any = jnp.any(skip_stop, axis=0)
+            skip_first = jnp.argmax(skip_stop, axis=0)
+            pickf = (arange_k == skip_first[None, :]).astype(ts.dtype)
+            skip_t = jnp.where(
+                skip_any, jnp.sum(ts_c * pickf, axis=0), t + k * stride
+            )
+            skip_mip_f = jnp.where(
+                skip_any, jnp.sum(mip_f * pickf, axis=0), mip_f[-1]
+            )
+            skip_mip_c = jnp.where(
+                skip_any, jnp.sum(mip_c * pickf, axis=0), mip_c[-1]
+            )
+            skip_mip_w = jnp.where(
+                skip_any, jnp.sum(mip_w_ * pickf, axis=0), mip_w_[-1]
+            )
+
+            # --- tracking branch: first real collision or budget crossing
+            ratio = fine_ext / jnp.maximum(sig_loc[None, :], 1e-20)
+            real_k = (u[1] < ratio) & (~crossed)
+            stop_k = real_k | crossed
+            any_stop = jnp.any(stop_k, axis=0)
+            first = jnp.argmax(stop_k, axis=0)
+            pick = (arange_k == first[None, :]).astype(ts.dtype)
+            psel = lambda a: jnp.sum(a * pick, axis=0)
+            if is_delta:
+                wood_t = jnp.where(any_stop, psel(ts_c), ts_c[-1])
+                wood_real = any_stop & (psel(real_k.astype(ts.dtype)) > 0.5)
+                # refresh the majorant from the tap at the stopping/last position
+                wood_mip_f = jnp.where(any_stop, psel(mip_f), mip_f[-1])
+                wood_mip_c = jnp.where(any_stop, psel(mip_c), mip_c[-1])
+                wood_mip_w = jnp.where(any_stop, psel(mip_w_), mip_w_[-1])
+            else:
+                # ratio mode: every in-budget probe contributes a factor; advance
+                # past all of them (to the budget boundary if it was crossed)
+                any_crossed = jnp.any(crossed, axis=0)
+                first_cross = jnp.argmax(crossed, axis=0)
+                pick_c = (arange_k == first_cross[None, :]).astype(ts.dtype)
+                wood_t = jnp.where(
+                    any_crossed, jnp.sum(ts_c * pick_c, axis=0), ts_c[-1]
+                )
+                wood_real = jnp.zeros(t.shape, bool)
+                wood_mip_f = jnp.where(
+                    any_crossed, jnp.sum(mip_f * pick_c, axis=0), mip_f[-1]
+                )
+                wood_mip_c = jnp.where(
+                    any_crossed, jnp.sum(mip_c * pick_c, axis=0), mip_c[-1]
+                )
+                wood_mip_w = jnp.where(
+                    any_crossed, jnp.sum(mip_w_ * pick_c, axis=0), mip_w_[-1]
+                )
+                factors = jnp.where(crossed, 1.0, 1.0 - ratio)
+                block = jnp.prod(factors, axis=0)
+
+            step_lane = (~done) & (~skipping)
+            skip_lane = (~done) & skipping
+
+            t_new = jnp.where(skip_lane, skip_t, jnp.where(step_lane, wood_t, t))
+            new_mip_f = jnp.where(skip_lane, skip_mip_f, wood_mip_f)
+            new_mip_c = jnp.where(skip_lane, skip_mip_c, wood_mip_c)
+            new_mip_w = jnp.where(skip_lane, skip_mip_w, wood_mip_w)
+            moved = skip_lane | step_lane
+            sig_new = jnp.where(moved, majorant(new_mip_f), sig_loc)
+            stride_new = jnp.where(
+                moved,
                 jnp.where(
-                    new_mip_w <= 0.0, _CLOUD_SKIP_WIDE, _CLOUD_SKIP_FINE
+                    new_mip_c <= 0.0,
+                    _CLOUD_SKIP_COARSE,
+                    jnp.where(
+                        new_mip_w <= 0.0, _CLOUD_SKIP_WIDE, _CLOUD_SKIP_FINE
+                    ),
                 ),
-            ),
-            stride,
-        )
-        t_fetch_new = jnp.where(moved, t_new, t_fetch)
-
-        if is_delta:
-            hit = step_lane & wood_real
-            scatters = psel(u[2]) < C.CLOUD_ALBEDO
-            event = jnp.where(
-                hit, jnp.where(scatters, SCATTER_EVENT, ABSORB_EVENT), event
+                stride,
             )
-            done = done | hit
-        else:
-            trans = jnp.where(step_lane, trans * block, trans)
-            # transmittance Russian roulette: once the packet max drops
-            # under 0.05, continue with p = trans/0.05 and reweight (exactly
-            # unbiased). Deeply-occluded sun chords — the dominant NEE cost
-            # at grazing sun, where the slab chord is hundreds of km —
-            # terminate in ~1 extra iteration instead of grinding the
-            # product down to a fixed cutoff. (u[2] is unused in ratio
-            # mode, so probe row 0 supplies the RR draw.)
-            t_rr = 0.05
-            p_cont = jnp.clip(trans / t_rr, 0.0, 1.0)
-            rr_active = step_lane & (p_cont < 1.0)
-            killed = rr_active & (u[2, 0] >= p_cont)
-            boosted = rr_active & ~killed
-            trans = jnp.where(
-                killed, 0.0, trans / jnp.where(boosted, p_cont, 1.0)
-            )
-            done = done | killed | (trans < 1e-5)
+            t_fetch_new = jnp.where(moved, t_new, t_fetch)
 
-        # --- analytic radial-band skip from the stop tap. The mips are 2D
-        # (lat/lon) but the split shape is radial: a grazing chord through
-        # "2D-cloudy" airspace whose radius stays outside the occupied band
-        # would otherwise Woodcock-crawl it at ~350 m majorant steps (the
-        # measured worst-lane tail: ~250 loop iterations). Each bound
-        # channel certifies emptiness outside its band within its validity;
-        # jump by the best of the three. Applies only where t_new sits AT
-        # the certifying tap (skip lanes that found no occupied probe have
-        # already advanced a stride past their last tap).
-        at_tap = (~skip_lane) | skip_any
-        jmask = (~done) & moved & at_tap
-        pos_stop = ray_pos + t_new[:, None] * ray_dir
-        r_stop = mu.length(pos_stop)
-        jump = jnp.zeros((n,))
-        for mip_ch, valid_ch in (
-            (new_mip_f, _CLOUD_VALID),
-            (new_mip_w, _CLOUD_VALID_WIDE),
-            (new_mip_c, _CLOUD_VALID_COARSE),
-        ):
-            lo, hi = _cloud_band_radii(mip_ch)
-            t_ent = _band_entry_dist(pos_stop, ray_dir, r_stop, lo, hi)
-            jump = jnp.maximum(jump, jnp.minimum(t_ent, valid_ch))
-        jump = jnp.where(jmask, jump, 0.0)
-        t_new = t_new + jump
-        jumped = jump > 0.0
-        # a jumped lane lands uncertified: drop to skip mode so the next
-        # iteration's probe 0 re-certifies from the landing point
-        sig_new = jnp.where(jumped, 0.0, sig_new)
-        t_fetch_new = jnp.where(jumped, t_new, t_fetch_new)
+            if is_delta:
+                hit = step_lane & wood_real
+                scatters = psel(u[2]) < C.CLOUD_ALBEDO
+                event = jnp.where(
+                    hit, jnp.where(scatters, SCATTER_EVENT, ABSORB_EVENT), event
+                )
+                done = done | hit
+            else:
+                trans = jnp.where(step_lane, trans * block, trans)
+                # transmittance Russian roulette: once the packet max drops
+                # under 0.05, continue with p = trans/0.05 and reweight (exactly
+                # unbiased). Deeply-occluded sun chords — the dominant NEE cost
+                # at grazing sun, where the slab chord is hundreds of km —
+                # terminate in ~1 extra iteration instead of grinding the
+                # product down to a fixed cutoff. (u[2] is unused in ratio
+                # mode, so probe row 0 supplies the RR draw.)
+                t_rr = 0.05
+                p_cont = jnp.clip(trans / t_rr, 0.0, 1.0)
+                rr_active = step_lane & (p_cont < 1.0)
+                killed = rr_active & (u[2, 0] >= p_cont)
+                boosted = rr_active & ~killed
+                trans = jnp.where(
+                    killed, 0.0, trans / jnp.where(boosted, p_cont, 1.0)
+                )
+                done = done | killed | (trans < 1e-5)
 
-        done = done | (t_new >= t_max)
-        return i + 1, t_new, done, t_fetch_new, sig_new, stride_new, event, trans
+            # --- analytic radial-band skip from the stop tap. The mips are 2D
+            # (lat/lon) but the split shape is radial: a grazing chord through
+            # "2D-cloudy" airspace whose radius stays outside the occupied band
+            # would otherwise Woodcock-crawl it at ~350 m majorant steps (the
+            # measured worst-lane tail: ~250 loop iterations). Each bound
+            # channel certifies emptiness outside its band within its validity;
+            # jump by the best of the three. Applies only where t_new sits AT
+            # the certifying tap (skip lanes that found no occupied probe have
+            # already advanced a stride past their last tap).
+            at_tap = (~skip_lane) | skip_any
+            jmask = (~done) & moved & at_tap
+            pos_stop = ray_pos + t_new[:, None] * ray_dir
+            r_stop = mu.length(pos_stop)
+            jump = jnp.zeros_like(t)
+            for mip_ch, valid_ch in (
+                (new_mip_f, _CLOUD_VALID),
+                (new_mip_w, _CLOUD_VALID_WIDE),
+                (new_mip_c, _CLOUD_VALID_COARSE),
+            ):
+                lo, hi = _cloud_band_radii(mip_ch)
+                t_ent = _band_entry_dist(pos_stop, ray_dir, r_stop, lo, hi)
+                jump = jnp.maximum(jump, jnp.minimum(t_ent, valid_ch))
+            jump = jnp.where(jmask, jump, 0.0)
+            t_new = t_new + jump
+            jumped = jump > 0.0
+            # a jumped lane lands uncertified: drop to skip mode so the next
+            # iteration's probe 0 re-certifies from the landing point
+            sig_new = jnp.where(jumped, 0.0, sig_new)
+            t_fetch_new = jnp.where(jumped, t_new, t_fetch_new)
+
+            done = done | (t_new >= t_max)
+            return i + 1, t_new, done, t_fetch_new, sig_new, stride_new, event, trans
+
+        return body
 
     init = (
-        0,
+        jnp.int32(0),
         t_start,
         ~valid,
         t_start,
@@ -845,7 +955,11 @@ def _track_cloud(
         jnp.full((n,), NULL_EVENT, dtype=jnp.int32),
         jnp.ones((n,)),
     )
-    _, t, _, _, _, _, event, trans = jax.lax.while_loop(cond, body, init)
+    _, t, _, _, _, _, event, trans = _run_narrowed(
+        cond, make_body,
+        (keys, ray_pos, ray_dir, t_max, t_max_safe, ext_w),
+        init, done_index=2, cfg=cfg,
+    )
     if is_delta:
         return event, t
     return trans

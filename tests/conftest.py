@@ -18,3 +18,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# Persistent compilation cache: compiles dominate the suite's wall time on
+# the 1-core CI box (e.g. each golden scene's first render). The cache is
+# keyed on backend+HLO, so CPU test executables never collide with TPU
+# render executables. First run pays full compiles; warm runs load them.
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser(
+    "~/.cache/digital_earth_tpu/jax_cache"
+))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

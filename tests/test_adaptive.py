@@ -38,6 +38,7 @@ def _mk(atlas, seed=0, res=(32, 18), tile_pixels=48):
 
 
 class TestAdaptive:
+    @pytest.mark.slow
     def test_uniform_pass_bit_identical_to_accumulate(self, atlas):
         """frac=1 adaptive draws the same per-(round, pixel) samples as the
         uniform accumulate (shared RNG round keying), so the accumulation
@@ -102,6 +103,8 @@ class TestAdaptive:
         # warmup pixels agree after scaling out the counts
         counts = np.asarray(r.count_buffer)
         assert counts.min() >= 2.0
+
+    @pytest.mark.slow
 
     def test_adaptive_requires_reset(self, atlas):
         r = _mk(atlas, seed=4)

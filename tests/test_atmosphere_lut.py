@@ -55,6 +55,9 @@ def _random_segments(rng, n):
     return segs
 
 
+@pytest.mark.slow
+
+
 def test_segment_integrals_match_brute_force():
     rng = np.random.default_rng(7)
     segs = _random_segments(rng, 40)
@@ -92,6 +95,9 @@ def test_segment_integrals_match_brute_force():
     scale = np.maximum(want, np.max(want, axis=0, keepdims=True) * 1e-2 + 1e-9)
     rel = np.abs(got - want) / scale
     assert rel.max() < 2e-2, rel.max()
+
+
+@pytest.mark.slow
 
 
 def test_transmittance_to_space_matches_brute_force():

@@ -75,6 +75,7 @@ class TestCameraResponse:
 
 
 class TestPostprocess:
+    @pytest.mark.slow
     def test_full_chain_shapes_and_range(self, crf):
         buf = jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (32, 16, 3))) * 0.01
         img = film.postprocess(
@@ -96,6 +97,8 @@ class TestPostprocess:
         center = img[32, 16].mean()
         corner = img[0, 0].mean()
         assert corner < center
+
+    @pytest.mark.slow
 
     def test_agx_selectable(self, crf):
         buf = jnp.full((8, 8, 3), 0.02)

@@ -67,6 +67,7 @@ def _run(rays, analytic: bool, seed: int):
 
 
 class TestAnalyticFlight:
+    @pytest.mark.slow
     def test_collision_probability_matches_beer_lambert(self, rays):
         """P(collision) per ray must be 1 - exp(-tau_total) exactly in
         expectation; with one draw per ray, compare the binned empirical
@@ -90,6 +91,8 @@ class TestAnalyticFlight:
             se = np.sqrt(max(m_ana * (1 - m_ana), 1e-6) / (len(b) * n_seeds))
             assert abs(m_emp - m_ana) < 5 * se + 1e-3, (m_emp, m_ana, se)
 
+    @pytest.mark.slow
+
     def test_distance_distribution_matches_delta_tracking(self, rays):
         """Collision-distance quantiles agree between the two samplers."""
         ta, td = [], []
@@ -103,6 +106,8 @@ class TestAnalyticFlight:
         qa = np.quantile(ta, np.linspace(0.1, 0.9, 9))
         qd = np.quantile(td, np.linspace(0.1, 0.9, 9))
         np.testing.assert_allclose(qa, qd, rtol=0.03)
+
+    @pytest.mark.slow
 
     def test_event_and_species_rates_match(self, rays):
         """SCATTER/ABSORB split and species fractions agree."""

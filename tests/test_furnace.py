@@ -33,6 +33,8 @@ class TestBeerLambert:
         sigma = (dens * np.asarray(ext)).sum(-1)
         return math.exp(-np.trapezoid(sigma, ts))
 
+    @pytest.mark.slow
+
     def test_vertical_and_slant_columns(self):
         up = jnp.array([0.0, 1.0, 0.0])
         slant = jnp.array([0.6, 0.8, 0.0])
@@ -101,6 +103,8 @@ class TestDeltaTrackingUnbiased:
         ) / math.sqrt(reps)
         assert abs(p_escape - t_mean) < 5 * se + 0.01, (p_escape, t_mean)
 
+    @pytest.mark.slow
+
     def test_pure_scatter_medium_never_absorbs(self):
         """With only Rayleigh (albedo 1), every collision must scatter —
         albedo roulette conserves energy (reference pathtracer.py:263-270)."""
@@ -131,6 +135,8 @@ class TestPhaseSamplerFurnace:
     """MC-integrating phase(w->w') over sampled directions w' must return 1
     when dividing by the sampling pdf (sampler/pdf consistency over the
     sphere) for the anisotropic phase functions used in the scene."""
+
+    @pytest.mark.slow
 
     def test_cloud_phase_weight_is_unit(self):
         n = 20000

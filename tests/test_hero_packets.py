@@ -54,6 +54,8 @@ class TestHeroPackets:
         d = np.diff(gaps, axis=1)
         np.testing.assert_allclose(d, 441.0 / 4, atol=0.5)
 
+    @pytest.mark.slow
+
     def test_packet_estimator_unbiased_vs_single(self, scene):
         """Multi-seed z-test: the L=4 estimator's mean must agree with the
         L=1 estimator within Monte-Carlo error (path-traced radiance is
@@ -75,6 +77,8 @@ class TestHeroPackets:
         sem = np.sqrt(a.var(axis=0) / n_seeds + b.var(axis=0) / n_seeds)
         z = (b.mean(axis=0) - a.mean(axis=0)) / (sem + 1e-5 * np.abs(a.mean(0)) + 1e-9)
         assert (np.abs(z) < 4.0).all(), (a.mean(0), b.mean(0), z)
+
+    @pytest.mark.slow
 
     def test_packet_reduces_variance(self, scene):
         """Packets collapse *chroma* noise (the 4 wavelengths integrate the

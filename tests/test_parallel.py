@@ -49,6 +49,8 @@ class TestMesh:
         # second spp batch adds energy somewhere
         assert (after != before).any()
 
+    @pytest.mark.slow
+
     def test_spp_axis_devices_differ(self, scene_setup):
         """The per-device fold must decorrelate spp batches: a 1-device-mesh
         render differs from another spp index's render."""
@@ -63,6 +65,8 @@ class TestMesh:
         r2.accumulate(cam, scene)
         one_spp = r2.fetch_buffer()
         assert (np.abs(two_spp - one_spp) > 1e-12).any()
+
+    @pytest.mark.slow
 
     def test_px_sharding_matches_replicated(self, scene_setup):
         """Sharding over 'px' must not change the result: randomness is keyed
@@ -79,6 +83,8 @@ class TestMesh:
         a, b = r8.fetch_buffer(), r1.fetch_buffer()
         assert np.isfinite(a).all() and (a != 0).any()
         np.testing.assert_array_equal(a, b)
+
+    @pytest.mark.slow
 
     def test_multichip_matches_single_chip_renderer(self, scene_setup):
         """The gate of VERDICT r2 item 4: the multi-chip renderer runs THE
@@ -110,6 +116,8 @@ class TestMesh:
         assert np.isfinite(a).all() and (a != 0).any()
         np.testing.assert_array_equal(a, b)
 
+    @pytest.mark.slow
+
     def test_multichip_full_renderer_api(self, scene_setup):
         """MultiChipRenderer IS a Renderer: set_* + accumulate() without
         explicit params + fetch_image + checkpoint roundtrip, so the viewer
@@ -140,6 +148,8 @@ class TestMesh:
         rs.accumulate()
         np.testing.assert_array_equal(img, np.asarray(rs.fetch_image()))
 
+    @pytest.mark.slow
+
     def test_multichip_checkpoint_roundtrip(self, scene_setup, tmp_path):
         atlas, luts, cam, scene, cfg = scene_setup
         m = make_render_mesh(devices=jax.devices()[:2], spp_axis=1)
@@ -159,6 +169,8 @@ class TestMesh:
             r2.fetch_buffer(), r.fetch_buffer(), atol=1e-6
         )
 
+    @pytest.mark.slow
+
     def test_spp_axis_matches_sequential_steps(self, scene_setup):
         """A (px=4, spp=2) step is keyed by global spp indices, so one step
         equals two sequential (px=8, spp=1) steps up to summation order."""
@@ -176,6 +188,8 @@ class TestMesh:
         assert r42.current_spp == r81.current_spp == 2
         a, b = r42.fetch_buffer(), r81.fetch_buffer()
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+    @pytest.mark.slow
 
     def test_multichip_interruptible_matches_accumulate(self, scene_setup):
         """Chunked multi-chip accumulation is bit-identical to the unchunked
@@ -204,6 +218,8 @@ class TestMesh:
         assert not aborted
         np.testing.assert_array_equal(ra.fetch_buffer(), rb.fetch_buffer())
 
+    @pytest.mark.slow
+
     def test_multichip_adaptive(self, scene_setup):
         """Sharded adaptive passes: warmup covers every pixel uniformly;
         adaptive rounds add samples only to the selected tiles; estimates
@@ -230,6 +246,8 @@ class TestMesh:
         r.accumulate()
         counts = np.asarray(r._assemble(r.count_buffer))
         assert counts.min() == 3.0 and counts.max() == 4.0
+
+    @pytest.mark.slow
 
     def test_multichip_adaptive_checkpoint(self, scene_setup, tmp_path):
         atlas, luts, cam, scene, cfg = scene_setup

@@ -125,6 +125,8 @@ class TestTracePaths:
         assert (rad >= 0).all()
         assert (rad > 0).any()
 
+    @pytest.mark.slow
+
     def test_deterministic_same_key(self, atlas):
         luts = load_spectral_luts()
         scene = make_scene_params()
@@ -138,6 +140,8 @@ class TestTracePaths:
         a = pt.trace_paths(jax.random.PRNGKey(9), pos, dirs, wl, scene, atlas, luts, CFG)
         b = pt.trace_paths(jax.random.PRNGKey(9), pos, dirs, wl, scene, atlas, luts, CFG)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.slow
 
     def test_sun_disk_visible_on_miss(self, flat_atlas):
         luts = load_spectral_luts()
@@ -172,6 +176,9 @@ def test_speckle_shaper():
     assert hi.mean() > lo.mean()
     again = np.asarray(speckle(p, jnp.full((64,), 0.1)))
     np.testing.assert_array_equal(lo, again)
+
+
+@pytest.mark.slow
 
 
 def test_nee_off_diagnostic(atlas):

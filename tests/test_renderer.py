@@ -6,6 +6,10 @@ from digital_earth_tpu.assets.procgen import generate_earth_textures
 from digital_earth_tpu.render.params import TraceConfig
 from digital_earth_tpu.render.renderer import Renderer
 
+# Heavy integration file: the goldens cover the renderer end-to-end;
+# the fine-grained checks here take minutes on the 1-core CI box.
+pytestmark = pytest.mark.slow
+
 CFG = TraceConfig(max_bounces=3, land_march_steps=64, max_tracking_steps=256)
 
 

@@ -38,6 +38,8 @@ class TestSpectrumSample:
         assert np.all(np.isfinite(np.asarray(rcp_pdf)))
         assert np.all(np.asarray(rcp_pdf) >= 0)
 
+    @pytest.mark.slow
+
     def test_importance_sampling_unbiased(self, luts):
         # MC estimate of integral of f(l)*response via the sampler should
         # match quadrature: estimator = mean(f(wl) * resp * rcp_pdf)

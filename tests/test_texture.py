@@ -236,6 +236,8 @@ class TestRealFileLoading:
             clouds[:, 0], proc["clouds"].ravel() / 255.0, atol=1e-6
         )
 
+    @pytest.mark.slow
+
     def test_render_with_file_atlas(self, tmp_path):
         """End-to-end: a file-loaded atlas renders through the path tracer."""
         from digital_earth_tpu.app.config_io import apply_config, load_config

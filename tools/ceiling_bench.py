@@ -90,19 +90,14 @@ def main():
     # Build the post-stage-1 wavefront exactly as the renderer does.
     w, h = args.width, args.height
     block = rd._pick_block_dims(w, h, 2048)
-    from digital_earth_tpu.render.camera import CameraParams
+    from digital_earth_tpu.render.camera import make_camera_params
     from digital_earth_tpu.render.params import make_scene_params
-    from digital_earth_tpu.assets.luts import load_spectral_luts, load_crf_pack
+    from digital_earth_tpu.assets.luts import load_spectral_luts
 
     luts = load_spectral_luts()
-    cam_pos = jnp.asarray(APOLLO["pos"])
-    fwd = jnp.asarray(APOLLO["look"]) - cam_pos
-    cam = CameraParams(
-        position=cam_pos,
-        forward=fwd / jnp.linalg.norm(fwd),
-        up=jnp.asarray(APOLLO["up"]),
+    cam = make_camera_params(
+        position=APOLLO["pos"], look_at=APOLLO["look"], up=APOLLO["up"],
         fov=APOLLO["fov"],
-        aspect_scale=1.0,
     )
     scene = make_scene_params(APOLLO["sun_angle"], APOLLO["sun_path_rot"], 7800.0)
 
@@ -132,10 +127,13 @@ def main():
     base_key = jax.random.PRNGKey(7)
     n_tiles = (w // block[0]) * (h // block[1])
 
-    rgb = rd._trace_tile_range(
-        base_key, jnp.int32(0), cam, scene, atlas, luts,
-        (w, h), block, cfg, 0, n_tiles,
-    )  # warm path to validate config works (not used further)
+    # eager lax.cond: branch predicates are concrete outside jit, so
+    # dispatch directly — otherwise cond TRACES both branches and the
+    # counting_while records tracers instead of concrete trip masks
+    orig_cond = jax.lax.cond
+
+    def eager_cond(pred, true_fn, false_fn, *ops):
+        return true_fn(*ops) if bool(pred) else false_fn(*ops)
 
     # one stage-1 tile's state, then one full tail bounce with counting
     tile = block[0] * block[1]
@@ -164,11 +162,13 @@ def main():
     st = pt.init_state(pos0, dirs, wl, lpdf, rng_keys=lkeys)
 
     jax.lax.while_loop = counting_while
+    jax.lax.cond = eager_cond
     try:
         stf = pt.run_bounces(st, scene, atlas, luts, cfg, 0, 1, unroll=1)
         trips = jax.device_get([c for c in counters])
     finally:
         jax.lax.while_loop = orig_while
+        jax.lax.cond = orig_cond
 
     names = ["march?", "cloud_delta?", "nee_cloud_ratio?"]
     print(f"\nbounce-0 inner loops on a {tile}-lane earth-disk tile "

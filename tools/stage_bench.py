@@ -24,16 +24,25 @@ def main():
     )
     args = ap.parse_args()
 
-    from digital_earth_tpu.assets.textures import load_texture_atlas
+    from digital_earth_tpu.assets.textures import (
+        load_texture_atlas, upsampled_procedural_atlas,
+    )
     from digital_earth_tpu.render.params import TraceConfig
     from digital_earth_tpu.render.renderer import Renderer
     from digital_earth_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
 
-    atlas = load_texture_atlas(
-        procedural_resolution=(args.texture_res, 2 * args.texture_res)
-    )
+    if args.texture_res >= 4050 and args.texture_res % 1350 == 0:
+        # tier-scale: device-side NN upsample of the cached 2700-res base
+        # (native numpy synthesis at this scale costs ~50 min host-side)
+        atlas = upsampled_procedural_atlas(
+            (args.texture_res, 2 * args.texture_res)
+        )
+    else:
+        atlas = load_texture_atlas(
+            procedural_resolution=(args.texture_res, 2 * args.texture_res)
+        )
 
     variants = {
         "full": {},
@@ -111,6 +120,23 @@ def main():
                           "compact_every": 4, "work_bins": 5},
         "t1920_ce2": {"tile_pixels": 2048, "compact_tile": 2048,
                       "compact_every": 2},
+        # straggler narrowing of the march/tracker while loops
+        # (params.loop_narrow): anchor = the default (narrow 256 after 2)
+        "narrow_off": {"tile_pixels": 2048, "loop_narrow": 0},
+        "narrow128": {"tile_pixels": 2048, "loop_narrow": 128},
+        "narrow512": {"tile_pixels": 2048, "loop_narrow": 512},
+        "narrow_na1": {"tile_pixels": 2048, "loop_narrow_after": 1},
+        "narrow_na4": {"tile_pixels": 2048, "loop_narrow_after": 4},
+        # probes per loop iteration, re-swept at 1920-lane tiles where the
+        # per-iteration cost is fixed-overhead-bound (the round-2 "flat"
+        # k sweep ran at 32K-lane tiles where taps dominated)
+        "mk8": {"tile_pixels": 2048, "march_k": 8},
+        "mk16": {"tile_pixels": 2048, "march_k": 16},
+        "tk8": {"tile_pixels": 2048, "tracking_k": 8},
+        "tk16": {"tile_pixels": 2048, "tracking_k": 16},
+        "mk8_tk8": {"tile_pixels": 2048, "march_k": 8, "tracking_k": 8},
+        "mk16_tk16": {"tile_pixels": 2048, "march_k": 16, "tracking_k": 16},
+        "mk32_tk32": {"tile_pixels": 2048, "march_k": 32, "tracking_k": 32},
     }
 
     for name in args.variants.split(","):
