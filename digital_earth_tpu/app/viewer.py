@@ -324,6 +324,13 @@ class EarthViewer:
         while self._running:
             with self._lock:
                 keys = set(self._pending_keys)
+                # consume the impulse: the web client re-sends held keys
+                # every 200 ms, so clearing here ends motion on release.
+                # (Without this, one /input?keys=w moved the camera forever:
+                # every frame stayed "dirty", the viewer previewed
+                # indefinitely, and path frames never resumed — found by
+                # tools/viewer_latency.py trials 1+ reading 0.00 s.)
+                self._pending_keys = set()
                 dx, dy = self._pending_rot
                 self._pending_rot = [0.0, 0.0]
             moved = self.camera.update_keys(keys, elapsed)

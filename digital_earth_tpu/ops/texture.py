@@ -195,3 +195,23 @@ def sample_dir_texture(tex: Tex2D, direction, bilinear: bool = True):
     """Sample an equirect texture by unit direction (stars background)."""
     u, v = sphere_uv_map(direction)
     return sample_equirect(tex, u, v, bilinear=bilinear)
+
+
+def sample_ray_texture(tex: Tex2D, ray_pos, ray_dir, ts, rlen,
+                       bilinear: bool = True):
+    """Equirect sample at ``ray_pos + ts * ray_dir`` given the precomputed
+    radius ``rlen = |ray_pos + ts * ray_dir|`` (TraceConfig.scalar_ray_geom:
+    callers on a fixed ray get |pos| for one sqrt of the hoisted ray
+    quadratic, so this never materializes (..., 3) position arrays — the
+    equirect UV only needs the three components and the radius).
+
+    ray_pos/ray_dir: (n, 3); ts/rlen: (..., n). Equivalent to
+    sample_sphere_texture(tex, ray_pos + ts[..., None] * ray_dir) because
+    atan2 is scale-invariant and v uses y/|pos|.
+    """
+    x = ray_pos[..., 0] + ts * ray_dir[..., 0]
+    y = ray_pos[..., 1] + ts * ray_dir[..., 1]
+    z = ray_pos[..., 2] + ts * ray_dir[..., 2]
+    u = (jnp.arctan2(z, -x) * (1.0 / np.pi) + 1.0) * 0.5
+    v = jnp.arcsin(jnp.clip(y / rlen, -1.0, 1.0)) * (1.0 / np.pi) + 0.5
+    return sample_equirect(tex, u, v, bilinear=bilinear)

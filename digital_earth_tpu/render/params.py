@@ -72,6 +72,18 @@ class TraceConfig:
     # Speculative probes per land-march iteration (same batching idea; the
     # march amortizes its fixed gather latency over more probes).
     march_k: int = 4
+    # Scalar ray geometry in the march body: every probe sits on the fixed
+    # ray pos + t*dir with |dir| = 1, so dot(ro, dir) = b0 + t, |ro|^2 =
+    # h2 + (b0 + t)^2 and every in-loop ray-sphere test collapses to ONE
+    # sqrt of (r^2 - h2) with the per-lane constants b0 = dot(pos, dir),
+    # h2 = |pos|^2 - b0^2 hoisted out of the loop; the base-sphere root is
+    # fully hoisted. Removes all (k, n, 3) intermediates (3-wide minor dims
+    # pad terribly on the 8x128 VPU) and ~halves the loop body's op count.
+    # Same math to ~15 m (the reassociated quadratic's rounding, far below
+    # the march's t*1e-4 convergence epsilon); False = the literal
+    # ro = pos + t*dir form for A/B validation. (Default False until the
+    # anchored TPU A/B lands; the flip regenerates the goldens.)
+    scalar_ray_geom: bool = False
     # March step floor, as a fraction of a texel arc. The floor is the
     # march's only UNCERTIFIED step (f-steps detect penetration by sign,
     # regional mip skips are certified), so it is a tunneling window:
@@ -123,6 +135,10 @@ class TraceConfig:
     # (cloud extinction is wavelength-flat, so packets still work).
     naive_march: bool = False
     naive_cloud_tracking: bool = False
+    # Shadow-ray-only bisection: surface-NEE occlusion via the naive march
+    # while the primary march stays accelerated (naive_march swaps BOTH, so
+    # it cannot attribute a bias between them).
+    naive_shadow: bool = False
     # March-on-demand: track free flights first (against the base-sphere
     # cap) and run the land march only for lanes whose event falls outside
     # the terrain-free ball one topo tap certifies at the ray origin.

@@ -290,25 +290,67 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
         i, _, _, done, _, _ = s
         return (i < cfg.land_march_steps) & jnp.any(~done)
 
+    if cfg.scalar_ray_geom:
+        # per-lane ray constants (see params.scalar_ray_geom): every probe
+        # quantity below is a scalar function of the probe parameter ts.
+        # h2 (squared perigee radius) from the cross product, which stays
+        # well-conditioned in f32 where |pos|^2 - (pos.dir)^2 cancels
+        # (same trick as atmosphere_lut._ray_perigee). They ride in ctx so
+        # _run_narrowed can re-index them per lane.
+        b0_c = mu.dot(pos, direction)
+        cr = jnp.cross(pos, direction)
+        h2_c = jnp.sum(cr * cr, axis=-1)
+        base_disc = C.PLANET_R * C.PLANET_R - h2_c
+        base_miss_c = base_disc < 0.0
+        base_near_abs_c = -b0_c - jnp.sqrt(jnp.maximum(base_disc, 0.0))
+        full_ctx = (pos, direction, miss_beyond, b0_c, h2_c, base_miss_c,
+                    base_near_abs_c)
+    else:
+        full_ctx = (pos, direction, miss_beyond, None, None, None, None)
+
     def make_body(ctx):
-        pos, direction, miss_beyond = ctx
+        pos, direction, miss_beyond, b0, h2, base_miss, base_near_abs = ctx
 
         def body(s):
             i, t, stride, done, missed, stall = s
             ts = t[None, :] + arange_k * stride[None, :]  # (k, n) probe params
-            ro = pos[None] + ts[..., None] * direction[None]
-            sample = tx.sample_sphere_texture(topo, ro, bilinear=cfg.bilinear_tracking)
-            f = mu.length(ro) - C.PLANET_R - scale * sample[..., 0]
-
-            # certified regional skips against the two mip-bound spheres
-            def regional_skip(mip_val, valid):
-                r_bound = C.PLANET_R + scale * mip_val
-                b_near, b_far = mu.rsi(ro, direction, r_bound)
-                return jnp.where(
-                    b_near > 0.0,
-                    jnp.minimum(b_near, valid),
-                    jnp.where(b_far < 0.0, valid, 0.0),
+            if cfg.scalar_ray_geom:
+                b = b0[None, :] + ts                # dot(ro, dir) per probe
+                rlen = jnp.sqrt(h2[None, :] + b * b)  # |ro| (no cancellation)
+                sample = tx.sample_ray_texture(
+                    topo, pos, direction, ts, rlen,
+                    bilinear=cfg.bilinear_tracking,
                 )
+                f = rlen - C.PLANET_R - scale * sample[..., 0]
+
+                # certified regional skips: rsi(ro, dir, r) with the
+                # quadratic collapsed — discr = r^2 - h2, roots -b -+ sq
+                def regional_skip(mip_val, valid):
+                    r_bound = C.PLANET_R + scale * mip_val
+                    disc = r_bound * r_bound - h2[None, :]
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    miss = disc < 0.0
+                    b_near = jnp.where(miss, -1.0, -b - sq)
+                    b_far = jnp.where(miss, -1.0, -b + sq)
+                    return jnp.where(
+                        b_near > 0.0,
+                        jnp.minimum(b_near, valid),
+                        jnp.where(b_far < 0.0, valid, 0.0),
+                    )
+            else:
+                ro = pos[None] + ts[..., None] * direction[None]
+                sample = tx.sample_sphere_texture(topo, ro, bilinear=cfg.bilinear_tracking)
+                f = mu.length(ro) - C.PLANET_R - scale * sample[..., 0]
+
+                # certified regional skips against the two mip-bound spheres
+                def regional_skip(mip_val, valid):
+                    r_bound = C.PLANET_R + scale * mip_val
+                    b_near, b_far = mu.rsi(ro, direction, r_bound)
+                    return jnp.where(
+                        b_near > 0.0,
+                        jnp.minimum(b_near, valid),
+                        jnp.where(b_far < 0.0, valid, 0.0),
+                    )
 
             s_region = jnp.maximum(
                 jnp.maximum(
@@ -332,7 +374,14 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
             # ocean (most of an Apollo/florida frame) terminate on their first
             # in-ball probe; exact, so strictly tighter than the march's
             # |f| < t*1e-4 convergence slack.
-            p_near, _ = mu.rsi(ro, direction, C.PLANET_R)
+            if cfg.scalar_ray_geom:
+                # base-sphere root hoisted out of the loop: the near root
+                # relative to probe j is just (absolute root) - ts
+                p_near = jnp.where(
+                    base_miss[None, :], -1.0, base_near_abs[None, :] - ts
+                )
+            else:
+                p_near, _ = mu.rsi(ro, direction, C.PLANET_R)
 
             def exact_base_hit(mip_val, valid):
                 return (mip_val <= 0.0) & (p_near > 0.0) & (p_near <= valid)
@@ -393,7 +442,7 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
         jnp.zeros((n,), dtype=jnp.int32),
     )
     _, t, _, _, missed, _ = _run_narrowed(
-        cond, make_body, (pos, direction, miss_beyond), init,
+        cond, make_body, full_ctx, init,
         done_index=3, cfg=cfg,
         wide_cap=cfg.loop_narrow_after * k,  # the march counts probes
     )
@@ -435,6 +484,23 @@ def _cloud_band_radii(mip):
         _CLOUD_SPLIT + mip * (1.0 - _CLOUD_SPLIT)
     )
     return lo, hi
+
+
+def _band_entry_dist_scalar(b, h2, r, lo, hi):
+    """_band_entry_dist with the ray quadratic hoisted
+    (params.scalar_ray_geom): b = dot(pos, dir) at the query point, h2 the
+    ray's squared perigee radius — each rsi is one sqrt of (rad^2 - h2)."""
+    big = jnp.float32(3e7)
+    eps = 4.0
+    above = r > hi + eps
+    below = r < lo - eps
+    dh = hi * hi - h2
+    hi_near = jnp.where(dh < 0.0, -1.0, -b - jnp.sqrt(jnp.maximum(dh, 0.0)))
+    dl = lo * lo - h2
+    lo_far = jnp.where(dl < 0.0, -1.0, -b + jnp.sqrt(jnp.maximum(dl, 0.0)))
+    t_above = jnp.where(hi_near > 0.0, hi_near, big)
+    t_below = jnp.maximum(lo_far, 0.0)
+    return jnp.where(above, t_above, jnp.where(below, t_below, 0.0))
 
 
 def _band_entry_dist(pos, direction, r, lo, hi):
@@ -531,8 +597,15 @@ def _delta_track_rmo(
             inv_max = 1.0 / jnp.maximum(jnp.sum(ext_h * env, axis=-1), 1e-20)
             steps = -jnp.log(jnp.maximum(u[0], 1e-12)) * inv_max  # (k, n)
             ts = t[None, :] + jnp.cumsum(steps, axis=0)
-            pos = ray_pos[None] + jnp.minimum(ts, t_max_safe)[..., None] * ray_dir[None]
-            dens = vol.get_density(vol.get_elevation(pos))  # (k, n, 3)
+            if cfg.scalar_ray_geom:
+                # elevation from the perigee frame already in ctx: |ro| =
+                # hypot(rp, x) — no (k, n, 3) positions (scalar_ray_geom)
+                x = xp[None, :] + jnp.minimum(ts, t_max_safe)
+                rlen = jnp.sqrt(rp[None, :] * rp[None, :] + x * x)
+                dens = vol.get_density(rlen - C.PLANET_R)  # (k, n, 3)
+            else:
+                pos = ray_pos[None] + jnp.minimum(ts, t_max_safe)[..., None] * ray_dir[None]
+                dens = vol.get_density(vol.get_elevation(pos))  # (k, n, 3)
             total_h = jnp.einsum("knc,nc->kn", dens, ext_h)
             over_k = ts >= t_max
             real_k = u[1] < total_h * inv_max
@@ -667,16 +740,27 @@ def _ratio_track_rmo(
         i, _, done, _ = s
         return (i < cfg.max_tracking_steps) & jnp.any(~done)
 
+    if cfg.scalar_ray_geom:
+        rp_c, xp_c = atm._ray_perigee(ray_pos, ray_dir)
+    else:
+        rp_c = xp_c = None
+
     def make_body(ctx):
-        keys, ray_pos, ray_dir, t_max, t_max_safe, extinctions, inv_max = ctx
+        (keys, ray_pos, ray_dir, t_max, t_max_safe, extinctions, inv_max,
+         rp, xp) = ctx
 
         def body(s):
             i, t, done, trans = s
             u = rng.uniform(rng.fold(keys, i), (k,))  # (k, n)
             steps = -jnp.log(jnp.maximum(u, 1e-12)) * inv_max
             ts = t[None, :] + jnp.cumsum(steps, axis=0)
-            pos = ray_pos[None] + jnp.minimum(ts, t_max_safe)[..., None] * ray_dir[None]
-            dens = vol.get_density(vol.get_elevation(pos))  # (k, n, 3)
+            if cfg.scalar_ray_geom:
+                x = xp[None, :] + jnp.minimum(ts, t_max_safe)
+                rlen = jnp.sqrt(rp[None, :] * rp[None, :] + x * x)
+                dens = vol.get_density(rlen - C.PLANET_R)  # (k, n, 3)
+            else:
+                pos = ray_pos[None] + jnp.minimum(ts, t_max_safe)[..., None] * ray_dir[None]
+                dens = vol.get_density(vol.get_elevation(pos))  # (k, n, 3)
             total = jnp.einsum("nlc,knc->knl", extinctions, dens)  # (k, n, L)
             inside = (ts < t_max) & (~done)[None, :]
             factors = jnp.where(
@@ -692,7 +776,8 @@ def _ratio_track_rmo(
     init = (jnp.int32(0), t_start, ~valid, jnp.ones((n, L)))
     _, _, _, trans = _run_narrowed(
         cond, make_body,
-        (keys, ray_pos, ray_dir, t_max, t_max_safe, extinctions, inv_max),
+        (keys, ray_pos, ray_dir, t_max, t_max_safe, extinctions, inv_max,
+         rp_c, xp_c),
         init, done_index=2, cfg=cfg,
     )
     return trans
@@ -757,8 +842,17 @@ def _track_cloud(
         i, done = s[0], s[2]
         return (i < cfg.max_tracking_steps) & jnp.any(~done)
 
+    if cfg.scalar_ray_geom:
+        # hoisted ray quadratic (params.scalar_ray_geom): |ro(t)| from one
+        # sqrt; no (k, n, 3) position arrays in the loop body
+        b0_c = mu.dot(ray_pos, ray_dir)
+        cr = jnp.cross(ray_pos, ray_dir)
+        h2_c = jnp.sum(cr * cr, axis=-1)
+    else:
+        b0_c = h2_c = None
+
     def make_body(ctx):
-        keys, ray_pos, ray_dir, t_max, t_max_safe, ext_w = ctx
+        keys, ray_pos, ray_dir, t_max, t_max_safe, ext_w, b0, h2 = ctx
 
         def majorant(mip_val):
             """Per-lane local majorant from a fine-mip value (0 = clear)."""
@@ -788,12 +882,21 @@ def _track_cloud(
             ts_c = jnp.minimum(
                 ts, jnp.where(skipping, t_max_safe, jnp.minimum(budget_end, t_max_safe))[None, :]
             )
-            pos = ray_pos[None] + ts_c[..., None] * ray_dir[None]
-            sample = tx.sample_sphere_texture(
-                clouds_tex, pos, bilinear=cfg.bilinear_tracking
-            )  # (k, n, 4): column height, tight mip, coarse mip, wide mip
+            if cfg.scalar_ray_geom:
+                bb = b0[None, :] + ts_c
+                rlen = jnp.sqrt(h2[None, :] + bb * bb)
+                sample = tx.sample_ray_texture(
+                    clouds_tex, ray_pos, ray_dir, ts_c, rlen,
+                    bilinear=cfg.bilinear_tracking,
+                )  # (k, n, 4): column height, tight/coarse/wide mips
+            else:
+                pos = ray_pos[None] + ts_c[..., None] * ray_dir[None]
+                sample = tx.sample_sphere_texture(
+                    clouds_tex, pos, bilinear=cfg.bilinear_tracking
+                )  # (k, n, 4): column height, tight mip, coarse mip, wide mip
+                rlen = mu.length(pos)
             fine_ext = ext_w[None, :] * _cloud_shape_density(
-                sample[..., 0], mu.length(pos)
+                sample[..., 0], rlen
             )
             mip_f = sample[..., 1]
             mip_c = sample[..., 2]
@@ -921,8 +1024,12 @@ def _track_cloud(
             # already advanced a stride past their last tap).
             at_tap = (~skip_lane) | skip_any
             jmask = (~done) & moved & at_tap
-            pos_stop = ray_pos + t_new[:, None] * ray_dir
-            r_stop = mu.length(pos_stop)
+            if cfg.scalar_ray_geom:
+                b_stop = b0 + t_new
+                r_stop = jnp.sqrt(h2 + b_stop * b_stop)
+            else:
+                pos_stop = ray_pos + t_new[:, None] * ray_dir
+                r_stop = mu.length(pos_stop)
             jump = jnp.zeros_like(t)
             for mip_ch, valid_ch in (
                 (new_mip_f, _CLOUD_VALID),
@@ -930,7 +1037,11 @@ def _track_cloud(
                 (new_mip_c, _CLOUD_VALID_COARSE),
             ):
                 lo, hi = _cloud_band_radii(mip_ch)
-                t_ent = _band_entry_dist(pos_stop, ray_dir, r_stop, lo, hi)
+                t_ent = (
+                    _band_entry_dist_scalar(b_stop, h2, r_stop, lo, hi)
+                    if cfg.scalar_ray_geom
+                    else _band_entry_dist(pos_stop, ray_dir, r_stop, lo, hi)
+                )
                 jump = jnp.maximum(jump, jnp.minimum(t_ent, valid_ch))
             jump = jnp.where(jmask, jump, 0.0)
             t_new = t_new + jump
@@ -957,7 +1068,7 @@ def _track_cloud(
     )
     _, t, _, _, _, _, event, trans = _run_narrowed(
         cond, make_body,
-        (keys, ray_pos, ray_dir, t_max, t_max_safe, ext_w),
+        (keys, ray_pos, ray_dir, t_max, t_max_safe, ext_w, b0_c, h2_c),
         init, done_index=2, cfg=cfg,
     )
     if is_delta:
@@ -1508,8 +1619,8 @@ def run_bounces(
             offset_pos = land_pos * (1.0 + 0.0001 * scale / 12000.0)
             if cfg.nee_off:
                 shadow_hit = jnp.full((n,), 1.0)  # "occluded": no sun NEE
-            elif cfg.naive_tracking or cfg.naive_march:
-                shadow_hit = _march(
+            elif cfg.naive_tracking or cfg.naive_march or cfg.naive_shadow:
+                shadow_hit = tn.intersect_land_naive(
                     atlas.topography, offset_pos, light_dir, scale, surface,
                     cfg,
                 )

@@ -195,3 +195,36 @@ class TestMarchEquivalence:
         both = (fast > 0) & (naive > 0)
         rel = np.abs(fast[both] - naive[both]) / naive[both]
         assert np.median(rel) < 5e-4
+
+    def test_scalar_ray_geom_matches_vector_form(self, setup):
+        """The hoisted ray quadratic (params.scalar_ray_geom) is the same
+        march to reassociation rounding: identical hit/miss set, hit
+        parameters within the t*1e-4 convergence epsilon, from both a
+        camera-distance origin (worst f32 cancellation) and near-surface
+        origins (shadow-ray regime)."""
+        import dataclasses
+
+        atlas, _ = setup
+        n = 512
+        key = jax.random.PRNGKey(3)
+        cam = jnp.array([35963490.0, 12765367.0, -42445899.0])
+        target = jax.random.normal(key, (n, 3))
+        target = target / jnp.linalg.norm(target, axis=-1, keepdims=True)
+        target = target * 6371e3 * 1.0005
+        act = jnp.ones(n, bool)
+        scale = jnp.float32(7800.0)
+        cfg_s = dataclasses.replace(CFG, scalar_ray_geom=True)
+        cfg_v = dataclasses.replace(CFG, scalar_ray_geom=False)
+        for origin in (jnp.broadcast_to(cam, (n, 3)), target * 1.002):
+            dirs = target - origin
+            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+            ts = np.asarray(pt.intersect_land(
+                atlas.topography, origin, dirs, scale, act, cfg_s
+            ))
+            tv = np.asarray(pt.intersect_land(
+                atlas.topography, origin, dirs, scale, act, cfg_v
+            ))
+            assert ((ts > 0) == (tv > 0)).all()
+            both = (ts > 0) & (tv > 0)
+            rel = np.abs(ts[both] - tv[both]) / np.maximum(tv[both], 1.0)
+            assert rel.max() < 2e-4

@@ -194,6 +194,23 @@ class TestProgressiveEscalation:
         time.sleep(0.4)
         assert esc_viewer._frame_source == "path"
 
+    def test_key_impulse_ends_motion(self, esc_viewer):
+        """One /input?keys=w is an impulse (the web client re-sends held
+        keys every 200 ms): motion must stop and frames escalate back to the
+        path tracer without a keyup message. Regression: un-cleared
+        _pending_keys kept every frame dirty, previewing forever."""
+        time.sleep(0.3)
+        _get(esc_viewer, "/input?keys=w")
+        deadline = time.time() + 3.0
+        while time.time() < deadline and esc_viewer._frame_source != "preview":
+            time.sleep(0.01)
+        # and with no further impulses, path frames resume
+        deadline = time.time() + 3.0
+        while time.time() < deadline and esc_viewer._frame_source != "path":
+            time.sleep(0.02)
+        assert esc_viewer._frame_source == "path"
+        assert not esc_viewer._pending_keys
+
     def test_preview_frame_png_upscales_to_full_res(self, esc_viewer):
         from PIL import Image
         import io as _io

@@ -74,6 +74,7 @@ def aggregate_trace(trace_dir: str, top: int = 40):
                 op_tids.add((e["pid"], e["tid"]))
     by_source = collections.Counter()
     by_name = collections.Counter()
+    name_counts = collections.Counter()
     total = 0.0
     n_events = 0
     for e in events:
@@ -86,24 +87,31 @@ def aggregate_trace(trace_dir: str, top: int = 40):
         src = args.get("source", "") or args.get("tf_op", "") or "?"
         by_source[src] += dur
         by_name[e.get("name", "?")] += dur
-    return by_source, by_name, total, n_events
+        name_counts[e.get("name", "?")] += 1
+    return by_source, by_name, total, n_events, name_counts
 
 
 def report(tag, trace_dir, reps, wall_s):
-    by_source, by_name, total_us, n_events = aggregate_trace(trace_dir)
+    by_source, by_name, total_us, n_events, name_counts = aggregate_trace(
+        trace_dir
+    )
     print(f"\n=== {tag}: {wall_s/reps*1e3:.1f} ms/call, device ops "
-          f"{total_us/reps/1e3:.1f} ms/call, {n_events} events ===")
+          f"{total_us/reps/1e3:.1f} ms/call, {n_events} events "
+          f"({n_events/reps:.0f}/call) ===")
     print("-- by source line --")
     for src, us in by_source.most_common(30):
         print(f"  {us/reps/1e3:9.3f} ms  {src[:110]}")
-    print("-- by op name --")
-    for name, us in by_name.most_common(25):
-        print(f"  {us/reps/1e3:9.3f} ms  {name[:110]}")
+    print("-- by op name (total ms/call | count/call | us/event) --")
+    for name, us in by_name.most_common(40):
+        c = name_counts[name]
+        print(f"  {us/reps/1e3:9.3f} ms  {c/reps:7.1f}x  "
+              f"{us/max(c,1):7.2f} us  {name[:90]}")
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--which", default="both", choices=["stage1", "tail", "both"])
+    ap.add_argument("--which", default="both",
+                    choices=["stage1", "tail", "both", "march"])
     ap.add_argument("--texture-res", type=int, default=1024)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
@@ -223,6 +231,32 @@ def main():
             jax.block_until_ready(out)
         wall = time.time() - t0
         report(tag, tdir, args.reps, wall)
+
+    if args.which == "march":
+        # ONE intersect_land call on the mid-frame tile's camera rays —
+        # the per-op breakdown is attributable purely to the march body
+        # (its while iterations dominate the event list).
+        k_jit_u, k_jit_v = jax.random.split(key)
+        bx = mid_tile // nby
+        by = mid_tile % nby
+        lane = jnp.arange(tile)
+        pu = (bx * bw + lane // bh).astype(jnp.float32)
+        pv = (by * bh + lane % bh).astype(jnp.float32)
+        dirs = cast_dirs(
+            cam, pu, pv,
+            jax.random.uniform(k_jit_u, (tile,)),
+            jax.random.uniform(k_jit_v, (tile,)),
+            image_res,
+        )
+        pos = jnp.broadcast_to(cam.position, (tile, 3))
+        active = jnp.ones((tile,), bool)
+        march_jit = jax.jit(
+            lambda p, d: pt.intersect_land(
+                atlas.topography, p, d, scene.land_height_scale, active, cfg
+            )
+        )
+        trace_call("march", lambda: march_jit(pos, dirs))
+        return
 
     if args.which in ("stage1", "both"):
         trace_call("stage1", run_stage1)

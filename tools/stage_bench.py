@@ -137,6 +137,13 @@ def main():
         "mk8_tk8": {"tile_pixels": 2048, "march_k": 8, "tracking_k": 8},
         "mk16_tk16": {"tile_pixels": 2048, "march_k": 16, "tracking_k": 16},
         "mk32_tk32": {"tile_pixels": 2048, "march_k": 32, "tracking_k": 32},
+        # scalar ray geometry (hoisted ray quadratic) in march + trackers
+        "scalar_off": {"tile_pixels": 2048, "scalar_ray_geom": False},
+        "scalar_on": {"tile_pixels": 2048, "scalar_ray_geom": True},
+        # march floor 0.005: the floor-linear tunneling bias measured at
+        # -0.55% +- 0.55 apollo B (inside the gate; docs/PARITY.md round 4)
+        "floor_p005": {"tile_pixels": 2048, "march_floor_frac": 0.005},
+        "floor_p01": {"tile_pixels": 2048, "march_floor_frac": 0.01},
     }
 
     for name in args.variants.split(","):
