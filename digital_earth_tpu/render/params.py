@@ -139,6 +139,14 @@ class TraceConfig:
     # while the primary march stays accelerated (naive_march swaps BOTH, so
     # it cannot attribute a bias between them).
     naive_shadow: bool = False
+    # Oscillation-stall termination patience: lanes whose march advances by
+    # < floor/4 for this many consecutive sweeps terminate as hits at the
+    # current t (they are grinding a boundary the relative epsilon cannot
+    # close; see intersect_land). Large values effectively disable stall
+    # termination (lanes burn the 250-probe budget and still count as hits
+    # per the reference's budget-exhaustion semantics) — a parity-bisection
+    # knob for attributing march bias, not a production setting.
+    march_stall_patience: int = 2
     # March-on-demand: track free flights first (against the base-sphere
     # cap) and run the land march only for lanes whose event falls outside
     # the terrain-free ball one topo tap certifies at the ray origin.

@@ -430,7 +430,8 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
                 t_next - t < step_floor * 0.25
             )
             stall = jnp.where(stalled_now, stall + 1, 0)
-            stuck = stall >= 2  # terminate as a hit at the current t
+            # terminate as a hit at the current t (patience knob: params)
+            stuck = stall >= cfg.march_stall_patience
             stride = jnp.where(done | newly_done | stuck, stride, stride_new)
             done = done | newly_done | stuck
             return i + k, t_next, stride, done, missed, stall

@@ -10,6 +10,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+SCENES = {
+    "apollo": "config - Apollo 11.txt",
+    "florida": "config - florida.txt",
+    "sunset": "config - sunset hurricane.txt",
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=1920)
@@ -17,6 +24,7 @@ def main():
     ap.add_argument("--tile", type=int, default=1600)
     ap.add_argument("--texture-res", type=int, default=1024)
     ap.add_argument("--spp", type=int, default=1)
+    ap.add_argument("--scene", default="apollo", choices=sorted(SCENES))
     ap.add_argument(
         "--variants",
         default="full,no_clouds,no_land,atmos_only,L1,k8",
@@ -24,12 +32,16 @@ def main():
     )
     args = ap.parse_args()
 
+    from digital_earth_tpu.app.config_io import apply_config, load_config
     from digital_earth_tpu.assets.textures import (
         load_texture_atlas, upsampled_procedural_atlas,
     )
     from digital_earth_tpu.render.params import TraceConfig
     from digital_earth_tpu.render.renderer import Renderer
     from digital_earth_tpu.utils.cache import enable_compilation_cache
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scene_file = os.path.join(root, "scenes", SCENES[args.scene])
 
     enable_compilation_cache()
 
@@ -154,12 +166,7 @@ def main():
             image_res=(args.width, args.height), atlas=atlas,
             tile_pixels=tile, cfg=cfg,
         )
-        r.set_camera_pos(35963490.23139822, 12765367.037276791, -42445899.29884433)
-        r.set_look_at(23201393.603171505, 8394073.279136525, -26074562.13501193)
-        r.set_up(0.26080361881808384, 0.6750209397555819, -0.6901653449014103)
-        r.set_fov(0.12692034034212948)
-        r.set_sun_angle(5.0813688841507325)
-        r.set_sun_path_rot(-1.7096024133386984)
+        apply_config(r, load_config(scene_file))
         r.accumulate()
         r.color_buffer.block_until_ready()
         t0 = time.time()
