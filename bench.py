@@ -30,6 +30,28 @@ import time
 
 REFERENCE_PATHS_PER_SEC = 1920 * 1080 * 30  # 30 FPS x 1spp x 1080p proxy
 
+# Device-utilization accounting (VERDICT r4 item 8): the round-4 tap census
+# (tools/ceiling_bench.py; docs/PERFORMANCE.md ceiling table) measured ~170
+# 128-byte row gathers per path on the Apollo frame (march 64, cloud 20,
+# NEE 16, shadow 16 per bounce-0 lane + tail), so achieved random-gather HBM
+# traffic = paths/s x 170 x 128 B. v5e HBM peak is 819 GB/s.
+TAPS_PER_PATH = 170.0
+BYTES_PER_TAP = 128.0
+V5E_HBM_PEAK_GBPS = 819.0
+
+
+def hbm_fields(pps):
+    gbps = pps * TAPS_PER_PATH * BYTES_PER_TAP / 1e9
+    return {
+        "hbm_gbps": round(gbps, 2),
+        "hbm_util": round(gbps / V5E_HBM_PEAK_GBPS, 5),
+        "hbm_note": (
+            "achieved random-gather traffic from the measured ~170 "
+            "taps/path x 128 B row census (tools/ceiling_bench.py); "
+            "v5e peak 819 GB/s"
+        ),
+    }
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -150,6 +172,7 @@ def main():
             "atlas_s": round(lo["atlas_s"], 1),
             "hero_lambdas": lo["hero_lambdas"],
             "note": "cheap first measurement; the tier-2 headline follows",
+            **hbm_fields(lo["pps"]),
         }), flush=True)
 
     # ---- tier-2 headline, degraded to fit the remaining budget ----------
@@ -201,12 +224,23 @@ def main():
             "procedural 2700x1350 base NN-upsampled on device — HBM "
             "footprint and gather cost identical to native tier-2"
         ),
+        "terrain_spectrum": (
+            "per-texel downward hash jitter (amplitude "
+            "{:.2f}*height) on upsampled topography/cloud maps restores "
+            "texel-scale gradients the NN upsample lacks "
+            "(assets/textures.UPSAMPLE_JITTER)".format(
+                __import__(
+                    "digital_earth_tpu.assets.textures", fromlist=["x"]
+                ).UPSAMPLE_JITTER
+            )
+        ),
         "seconds_per_spp": round(m["s_per_spp"], 3),
         "warmup_s": round(m["warmup_s"], 1),
         "atlas_s": round(m["atlas_s"], 1),
         "hero_lambdas": m["hero_lambdas"],
         "spectral_samples_per_sec": round(m["pps"] * m["hero_lambdas"], 1),
         "est_wallclock_1024spp_s": round(1024 * m["s_per_spp"], 1),
+        **hbm_fields(m["pps"]),
     }
     if lo is not None:
         result.update(

@@ -240,18 +240,33 @@ def build_atlas_arrays(arrays: dict) -> dict:
     }
 
 
-def pack_atlas(packs: dict, upsample: int = 1) -> TextureAtlas:
+# Terrain-honesty jitter for device-upsampled tiers (VERDICT r4 item 6): a
+# pure NN upsample has zero gradient above base-texel scale, flattering every
+# march/tracking-trip-count-sensitive number. Each upsampled topography/cloud
+# texel is scaled by (1 - U*jitter) with a per-texel hash U — downward-only,
+# so the base-built max-mips stay conservative. 0.06 puts ~0-120 m of
+# texel-scale relief on a 0.25-height mountain at the tier-2 texel (~1.9 km),
+# the scale of real ETOPO texel gradients outside cliff terrain.
+UPSAMPLE_JITTER = float(os.environ.get("DE_UPSAMPLE_JITTER", "0.06"))
+
+
+def pack_atlas(packs: dict, upsample: int = 1,
+               jitter: float = None) -> TextureAtlas:
     """Row-gather-pack the image-space planes into a TextureAtlas,
     optionally nearest-neighbour-upsampling each plane by an integer factor
-    on device (Tex2D.from_upsampled)."""
+    on device (Tex2D.from_upsampled). Upsampled topography/cloud maps get
+    per-texel terrain-honesty jitter (UPSAMPLE_JITTER; channel 0 only — the
+    mip bounds stay exact)."""
+    if jitter is None:
+        jitter = UPSAMPLE_JITTER
     if upsample > 1:
-        f = lambda a: Tex2D.from_upsampled(a, upsample)  # noqa: E731
+        f = lambda a, **kw: Tex2D.from_upsampled(a, upsample, **kw)  # noqa: E731
     else:
-        f = Tex2D.from_array
+        f = lambda a, **kw: Tex2D.from_array(a)  # noqa: E731
     return TextureAtlas(
         material=f(packs["material"]),
-        topography=f(packs["topography"]),
-        clouds=f(packs["clouds"]),
+        topography=f(packs["topography"], jitter=jitter, jitter_seed=0x7071),
+        clouds=f(packs["clouds"], jitter=jitter, jitter_seed=0xC10D),
         stars=f(packs["stars"]),
     )
 
@@ -306,6 +321,7 @@ def upsampled_procedural_atlas(
     base_resolution=(1350, 2700),
     seed: int = 7,
     cache_dir=None,
+    jitter: float = None,
 ) -> TextureAtlas:
     """Tier-2-scale procedural atlas: nearest-neighbour-upsample the cached
     base planes ON DEVICE by an integer factor, then row-gather-pack on
@@ -329,7 +345,7 @@ def upsampled_procedural_atlas(
         )
     factor = th // bh
     packs = cached_atlas_arrays(base_resolution, seed, cache_dir)
-    return pack_atlas(packs, upsample=factor)
+    return pack_atlas(packs, upsample=factor, jitter=jitter)
 
 
 def _load_image(path: str, single_channel: bool) -> np.ndarray:

@@ -62,3 +62,52 @@ def uniform(keys, shape=()):
     if shape == ():
         return u
     return jnp.moveaxis(u, 0, -1)
+
+
+def _lowbias32(x):
+    """Finalizing 32-bit mixer (Walker 2018 "lowbias32": xorshift-multiply
+    x2; measured avalanche bias 0.17%, on par with MurmurHash3's finalizer)."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def fast_uniform(keys, data, shape=()):
+    """Cheap counter-based per-lane uniforms for the hot tracking loops
+    (params.fast_loop_rng): (n, 2) keys + a traced scalar counter ->
+    (*shape, n) draws in [0, 1).
+
+    ``uniform(fold(keys, i), shape)`` costs one threefry fold plus one
+    threefry block per 2 outputs (~40 int ops per u32); at the production
+    lane widths the loop-body cost is emitted-op-bound (docs/PERFORMANCE.md
+    round-4 ceiling model), making the in-loop RNG the single largest op
+    block of the tracking bodies. This replaces it with two rounds of
+    lowbias32 over (key0, key1, counter, draw-index) — ~11 int ops per u32,
+    same determinism/layout-independence guarantees (pure function of the
+    per-lane key, which is itself threefry-derived from (spp, pixel id),
+    and the loop counter). Mixing-quality note: the input already carries
+    ~64 bits of threefry entropy per lane; the double lowbias32 only needs
+    to decorrelate the small (counter, index) lattice, far below its
+    measured avalanche quality. Used ONLY inside the accelerated trackers —
+    the reference-faithful naive twins keep jax.random draws, so the
+    statistical tracking-equivalence suite (tests/test_tracking_equiv.py)
+    independently validates every distribution produced by this generator.
+    """
+    n = keys.shape[0]
+    total = 1
+    for s in shape:
+        total *= s
+    idx = jnp.arange(total, dtype=jnp.uint32).reshape(tuple(shape) + (1,))
+    k0 = keys[:, 0]
+    k1 = keys[:, 1]
+    c = jnp.asarray(data).astype(jnp.uint32)
+    x = k1[None] ^ (c * jnp.uint32(0x9E3779B9) + idx * jnp.uint32(0x85EBCA6B))
+    x = _lowbias32(x)
+    x = _lowbias32(x ^ k0[None])
+    u = x.astype(jnp.float32) * jnp.float32(2.0**-32)
+    if shape == ():
+        return u[0]
+    return u

@@ -71,11 +71,25 @@ class Tex2D:
         return cls(jnp.asarray(rows), h, w, c)
 
     @classmethod
-    def from_upsampled(cls, arr, factor: int) -> "Tex2D":
+    def from_upsampled(cls, arr, factor: int, jitter: float = 0.0,
+                       jitter_channel: int = 0, jitter_seed: int = 0x9E3779B9,
+                       ) -> "Tex2D":
         """Nearest-neighbour-upsample an (h, w[, C]) uint8 image by an
         integer ``factor`` and row-gather-pack it, entirely ON DEVICE —
         bit-identical to ``from_array(np.repeat(np.repeat(arr, f, 0), f,
         1))`` (asserted in tests/test_texture.py).
+
+        ``jitter`` > 0 makes the upsample terrain-honest (VERDICT r4 item 6):
+        a pure NN upsample has ZERO gradient above base-texel scale, so
+        march/tracking trip counts and the march-floor bias — both driven by
+        texel-scale terrain statistics — see an artificially smooth easy
+        case. Each full-res texel's ``jitter_channel`` value is scaled by
+        (1 - jitter * u) with u a per-texel deterministic integer hash in
+        [0, 1): texel-scale relief proportional to local height (mountains
+        rough, ocean stays exactly 0). The reduction is DOWNWARD-ONLY so the
+        dilated max-mips packed from the base stay conservative bounds, and
+        it is applied to the packed (n_rows, 128) form — never materializing
+        an (H, W, C) array (TPU tiling pads minor dims 16x for uint8).
 
         Every materialized intermediate is 1-D/2-D with a large minor
         dimension: TPU tiling pads the two minor dims to (8·4, 128) for
@@ -106,6 +120,27 @@ class Tex2D:
             if pad:
                 flat = jnp.pad(flat, (0, pad))
             rows = flat.reshape(n_rows, tpr * c)
+            if jitter > 0.0:
+                # per-texel hash (lowbias32, Walker 2018) of the texel id,
+                # evaluated on the packed layout: lane l of row r holds
+                # texel r*tpr + l//c, channel l%c
+                lane = jnp.arange(tpr * c, dtype=jnp.uint32)
+                texel = (
+                    jnp.arange(n_rows, dtype=jnp.uint32)[:, None] * tpr
+                    + lane[None, :] // c
+                )
+                x = texel ^ jnp.uint32(jitter_seed)
+                x ^= x >> 16
+                x *= jnp.uint32(0x7FEB352D)
+                x ^= x >> 15
+                x *= jnp.uint32(0x846CA68B)
+                x ^= x >> 16
+                u = x.astype(jnp.float32) * jnp.float32(2.0**-32)
+                scaled = jnp.round(
+                    rows.astype(jnp.float32) * (1.0 - jitter * u)
+                ).astype(rows.dtype)
+                is_ch = (lane % c) == jitter_channel
+                rows = jnp.where(is_ch[None, :], scaled, rows)
             if tpr * c < LANES:
                 rows = jnp.pad(rows, ((0, 0), (0, LANES - tpr * c)))
             return rows

@@ -97,6 +97,17 @@ class TraceConfig:
     # the tight-mip regional skip carries the certified progress the old
     # floor was papering over.
     march_floor_frac: float = 0.02
+    # Separate (smaller) floor for the BOUNCE > 0 primary marches: round-4
+    # march-level instrumentation (docs/PARITY.md) shows the floor-linear
+    # tunneling bias rides secondary (grazing hemisphere-sampled) rays —
+    # bounce-0 hit/miss classification agrees with the floor-free naive
+    # march on 99.9% of lanes — while bounce-0 marching is ~62% of frame
+    # cost. A tight secondary floor buys the 0.005-ladder fidelity
+    # (apollo B -0.55% +- 0.55, inside the gate) at a fraction of the
+    # global-0.005 cost (+24.8% measured round 5). None = use
+    # march_floor_frac everywhere. The any-hit shadow march always uses the
+    # primary floor (exonerated bit-identically in the round-4 bisection).
+    march_floor_frac_secondary: "float | None" = None
     # Hero-wavelength packet size: wavelengths traced per path (Wilkie et al.
     # 2014 spectral MIS). 1 = the reference's single-wavelength estimator;
     # 4 amortizes the path's geometry/tracking over 4 spectral samples,
@@ -124,6 +135,17 @@ class TraceConfig:
     # local-majorant rounds; see docs/PERFORMANCE.md round-3 notes).
     analytic_flight: bool = False
     flight_newton_iters: int = 14
+    # In-loop RNG for the accelerated trackers: True = counter-based double
+    # lowbias32 hash of the per-lane key (ops/rng.fast_uniform, ~11 int ops
+    # per u32), False = per-iteration threefry fold + draw (~40+ ops/u32).
+    # The tracking-loop bodies are emitted-op-bound at production widths
+    # (round-4 ceiling model), and the threefry block was their single
+    # largest op group. Either way draws are deterministic, layout-
+    # independent pure functions of (spp, pixel, bounce, site, iteration).
+    # The naive reference-faithful twins always use jax.random, so
+    # tests/test_tracking_equiv.py statistically validates the fast
+    # generator's distributions against them.
+    fast_loop_rng: bool = False
     # Reference-faithful mode: one-step global-majorant trackers and the
     # plain sphere march (render/tracking_naive.py) instead of the
     # accelerated implementations. Slower; for parity checks and debugging.
@@ -139,6 +161,12 @@ class TraceConfig:
     # while the primary march stays accelerated (naive_march swaps BOTH, so
     # it cannot attribute a bias between them).
     naive_shadow: bool = False
+    # Exact analytic ocean termination in the march (intersect_land): a
+    # zero regional max turns the probe's base-sphere intersection into the
+    # exact surface hit. False replaces it with ordinary convergence — a
+    # parity-bisection knob for attributing the florida-R accelerated-march
+    # bias (docs/PARITY.md round 5), not a production setting.
+    march_exact_ocean: bool = True
     # Oscillation-stall termination patience: lanes whose march advances by
     # < floor/4 for this many consecutive sweeps terminate as hits at the
     # current t (they are grinding a boundary the relative epsilon cannot
@@ -188,6 +216,18 @@ class TraceConfig:
     # 6.23/5.65/5.42/5.27 s/spp.
     compact_after: int = 1
     compact_every: int = 6
+    # Frame-wide class-binned scheduling from bounce 0 (round 5): instead of
+    # tracing bounce 0 inside spatially-coherent pixel-block tiles, generate
+    # every camera ray up front, analytically pre-kill atmosphere-missing
+    # rays (pathtracer.classify_primary — ~60% of an Apollo frame dies
+    # before tracing anything), bin the rest by a perigee-radius cost class,
+    # and run bounce 0 through the same compacted-stage machinery as the
+    # tail. Motivation (tools/loop_cost.py, round 5): the march/tracker
+    # while-loops are LATENCY-bound — their cost is flat in lane width from
+    # 512 to ~16K lanes — so the binding cost is (number of tiles) x
+    # (worst-lane trip count), and class-homogeneous tiles beat spatial
+    # blocks on both factors.
+    binned_stage1: bool = False
     # Tail compact-tile budget: the renderer picks the largest 128-aligned
     # divisor of the wavefront <= this. TPU-measured at 1080p (one-process
     # sweep, Apollo): achieved ctile 1920 = 4.85 s/spp vs 6400 = 5.43,

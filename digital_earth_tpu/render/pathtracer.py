@@ -203,7 +203,7 @@ def _run_narrowed(cond, make_body, ctx, init, done_index, cfg: TraceConfig,
 
 
 def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
-                   t_cap=None, any_hit=False):
+                   t_cap=None, any_hit=False, floor_frac=None):
     """Sphere-march against the displaced sphere with regional analytic skips.
 
     Semantics follow reference pathtracer.py:27-46 (march budget, relative
@@ -272,8 +272,12 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
     # probe dipping inside (measured as a -12% whole-image bias vs the
     # floor-free naive march at 1024-res textures where the floor is
     # 2.4 km; see docs/PARITY.md bisection). cfg.march_floor_frac trades
-    # worst-lane iteration count against that window.
-    step_floor = math.pi * C.PLANET_R / topo.w * cfg.march_floor_frac
+    # worst-lane iteration count against that window. ``floor_frac``
+    # overrides it (traced scalar: the bounce loop passes the tighter
+    # secondary floor for bounce > 0, params.march_floor_frac_secondary).
+    if floor_frac is None:
+        floor_frac = cfg.march_floor_frac
+    step_floor = math.pi * C.PLANET_R / topo.w * floor_frac
 
     bound_near, bound_far = mu.rsi(pos, direction, C.PLANET_R + scale)
     may_hit = active & (bound_far > 0.0)
@@ -308,61 +312,64 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
     else:
         full_ctx = (pos, direction, miss_beyond, None, None, None, None)
 
+    # validity radii of the three packed mip bounds (fine 25 km,
+    # coarse 115 km, tight 8 km), stacked for the fused skip computation
+    _valid3 = jnp.array(
+        [_MIP_VALID_FINE, _MIP_VALID_COARSE, _CLOUD_VALID], jnp.float32
+    )[:, None, None]
+
     def make_body(ctx):
         pos, direction, miss_beyond, b0, h2, base_miss, base_near_abs = ctx
 
         def body(s):
             i, t, stride, done, missed, stall = s
             ts = t[None, :] + arange_k * stride[None, :]  # (k, n) probe params
+            # One shared ray quadratic per probe feeds |ro|, all three
+            # regional-skip sphere tests AND the exact-ocean base-sphere
+            # root (fusion-group diet, VERDICT r4 item 3: the loop's cost is
+            # emitted-op-count-bound at these widths, so 4 separate rsi
+            # calls + 3 separate skip selects collapse into one stacked
+            # (3, k, n) computation with a single sqrt each).
             if cfg.scalar_ray_geom:
                 b = b0[None, :] + ts                # dot(ro, dir) per probe
-                rlen = jnp.sqrt(h2[None, :] + b * b)  # |ro| (no cancellation)
+                h2b = h2[None, :]                   # (1, n) squared perigee
+                rlen = jnp.sqrt(h2b + b * b)        # |ro| (no cancellation)
                 sample = tx.sample_ray_texture(
                     topo, pos, direction, ts, rlen,
                     bilinear=cfg.bilinear_tracking,
                 )
-                f = rlen - C.PLANET_R - scale * sample[..., 0]
-
-                # certified regional skips: rsi(ro, dir, r) with the
-                # quadratic collapsed — discr = r^2 - h2, roots -b -+ sq
-                def regional_skip(mip_val, valid):
-                    r_bound = C.PLANET_R + scale * mip_val
-                    disc = r_bound * r_bound - h2[None, :]
-                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                    miss = disc < 0.0
-                    b_near = jnp.where(miss, -1.0, -b - sq)
-                    b_far = jnp.where(miss, -1.0, -b + sq)
-                    return jnp.where(
-                        b_near > 0.0,
-                        jnp.minimum(b_near, valid),
-                        jnp.where(b_far < 0.0, valid, 0.0),
-                    )
             else:
                 ro = pos[None] + ts[..., None] * direction[None]
-                sample = tx.sample_sphere_texture(topo, ro, bilinear=cfg.bilinear_tracking)
-                f = mu.length(ro) - C.PLANET_R - scale * sample[..., 0]
+                sample = tx.sample_sphere_texture(
+                    topo, ro, bilinear=cfg.bilinear_tracking
+                )
+                rr = jnp.sum(ro * ro, axis=-1)                   # (k, n)
+                b = jnp.sum(ro * direction[None], axis=-1)       # (k, n)
+                # squared perigee via the cross product: rr - b*b cancels
+                # catastrophically in f32 at planet scale (same trick as
+                # atmosphere_lut._ray_perigee / the scalar branch above)
+                cr = jnp.cross(ro, jnp.broadcast_to(direction[None], ro.shape))
+                h2b = jnp.sum(cr * cr, axis=-1)                  # (k, n)
+                rlen = jnp.sqrt(rr)
+            f = rlen - C.PLANET_R - scale * sample[..., 0]
 
-                # certified regional skips against the two mip-bound spheres
-                def regional_skip(mip_val, valid):
-                    r_bound = C.PLANET_R + scale * mip_val
-                    b_near, b_far = mu.rsi(ro, direction, r_bound)
-                    return jnp.where(
-                        b_near > 0.0,
-                        jnp.minimum(b_near, valid),
-                        jnp.where(b_far < 0.0, valid, 0.0),
-                    )
-
-            s_region = jnp.maximum(
-                jnp.maximum(
-                    regional_skip(sample[..., 1], _MIP_VALID_FINE),
-                    regional_skip(sample[..., 2], _MIP_VALID_COARSE),
+            # certified regional skips against the three mip-bound spheres:
+            # rsi with the shared quadratic — disc = r^2 - h2, roots -b -+ sq
+            mips = jnp.moveaxis(sample[..., 1:4], -1, 0)         # (3, k, n)
+            r_bound = C.PLANET_R + scale * mips
+            disc = r_bound * r_bound - h2b[None]
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            miss3 = disc < 0.0
+            near3 = jnp.where(miss3, -1.0, -b[None] - sq)
+            far3 = jnp.where(miss3, -1.0, -b[None] + sq)
+            s_region = jnp.max(
+                jnp.where(
+                    near3 > 0.0,
+                    jnp.minimum(near3, _valid3),
+                    jnp.where(far3 < 0.0, _valid3, 0.0),
                 ),
-                # tight 8 km bound (channel 3): least dilation, so it clears
-                # valley/ocean rays that the 25 km-dilated fine bound keeps
-                # hostage to distant peaks — certified progress exactly where
-                # the step floor otherwise binds
-                regional_skip(sample[..., 3], _CLOUD_VALID),
-            )
+                axis=0,
+            )  # (k, n)
             step = jnp.where(
                 f < 0.0, f, jnp.maximum(jnp.maximum(f, s_region), step_floor)
             )  # (k, n)
@@ -381,16 +388,20 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
                     base_miss[None, :], -1.0, base_near_abs[None, :] - ts
                 )
             else:
-                p_near, _ = mu.rsi(ro, direction, C.PLANET_R)
+                pdisc = C.PLANET_R * C.PLANET_R - h2b
+                p_near = jnp.where(
+                    pdisc < 0.0, -1.0,
+                    -b - jnp.sqrt(jnp.maximum(pdisc, 0.0)),
+                )
 
-            def exact_base_hit(mip_val, valid):
-                return (mip_val <= 0.0) & (p_near > 0.0) & (p_near <= valid)
-
-            ocean_hit = (
-                exact_base_hit(sample[..., 1], _MIP_VALID_FINE)
-                | exact_base_hit(sample[..., 2], _MIP_VALID_COARSE)
-                | exact_base_hit(sample[..., 3], _CLOUD_VALID)
-            )
+            if cfg.march_exact_ocean:
+                ocean_hit = jnp.any(
+                    (mips <= 0.0)
+                    & (p_near[None] > 0.0) & (p_near[None] <= _valid3),
+                    axis=0,
+                )
+            else:  # parity bisection (params.march_exact_ocean)
+                ocean_hit = jnp.zeros(ts.shape, bool)
             converged = jnp.abs(f) < ts * 1e-4
             # the converged probe's parameter: the exact base-sphere hit for
             # ocean terminations, the probe position otherwise
@@ -487,46 +498,6 @@ def _cloud_band_radii(mip):
     return lo, hi
 
 
-def _band_entry_dist_scalar(b, h2, r, lo, hi):
-    """_band_entry_dist with the ray quadratic hoisted
-    (params.scalar_ray_geom): b = dot(pos, dir) at the query point, h2 the
-    ray's squared perigee radius — each rsi is one sqrt of (rad^2 - h2)."""
-    big = jnp.float32(3e7)
-    eps = 4.0
-    above = r > hi + eps
-    below = r < lo - eps
-    dh = hi * hi - h2
-    hi_near = jnp.where(dh < 0.0, -1.0, -b - jnp.sqrt(jnp.maximum(dh, 0.0)))
-    dl = lo * lo - h2
-    lo_far = jnp.where(dl < 0.0, -1.0, -b + jnp.sqrt(jnp.maximum(dl, 0.0)))
-    t_above = jnp.where(hi_near > 0.0, hi_near, big)
-    t_below = jnp.maximum(lo_far, 0.0)
-    return jnp.where(above, t_above, jnp.where(below, t_below, 0.0))
-
-
-def _band_entry_dist(pos, direction, r, lo, hi):
-    """Distance along the ray before the radius enters [lo, hi] (0 if the
-    radius is already inside, +inf when it never will).
-
-    Classification carries a few meters of margin: at planet radius f32
-    resolves ~0.5 m, so a lane sitting ON a boundary sphere can read as
-    outside while the rsi root collapses to <=0 noise — without the margin
-    that combination certified a bogus full-validity jump THROUGH the band
-    (caught by the tracking-equivalence tests). Boundary-zone lanes count
-    as inside (entry 0 — never skip), and a "below" lane whose far root is
-    non-positive enters immediately (inside the lo sphere the exit root is
-    genuinely positive; <=0 is boundary noise)."""
-    big = jnp.float32(3e7)
-    eps = 4.0
-    above = r > hi + eps
-    below = r < lo - eps
-    hi_near, _ = mu.rsi(pos, direction, hi)
-    _, lo_far = mu.rsi(pos, direction, lo)
-    t_above = jnp.where(hi_near > 0.0, hi_near, big)
-    t_below = jnp.maximum(lo_far, 0.0)
-    return jnp.where(above, t_above, jnp.where(below, t_below, 0.0))
-
-
 def get_clouds_density(clouds_tex, pos, bilinear=True):
     """Cloud slab density at a position (reference pathtracer.py:48-65).
     ``clouds_tex`` is the 4-channel (map, tight mip, coarse mip, wide mip)
@@ -586,12 +557,16 @@ def _delta_track_rmo(
         i, done = s[0], s[2]
         return (i < cfg.max_tracking_steps) & jnp.any(~done)
 
+    draw = rng.fast_uniform if cfg.fast_loop_rng else (
+        lambda ks, i, shape: rng.uniform(rng.fold(ks, i), shape)
+    )
+
     def make_body(ctx):
         keys, ray_pos, ray_dir, t_max, t_max_safe, ext_h, rp, xp, x_end = ctx
 
         def body(s):
             i, t, done, event, iid = s
-            u = rng.uniform(rng.fold(keys, i), (3, k))  # (3, k, n)
+            u = draw(keys, i, (3, k))  # (3, k, n)
             # local hero majorant over the remaining segment [t, t_max]
             r_min = atm.segment_min_radius(rp, t + xp, x_end)
             env = atm.density_envelope(r_min - C.PLANET_R)  # (n, 3)
@@ -746,13 +721,17 @@ def _ratio_track_rmo(
     else:
         rp_c = xp_c = None
 
+    draw = rng.fast_uniform if cfg.fast_loop_rng else (
+        lambda ks, i, shape: rng.uniform(rng.fold(ks, i), shape)
+    )
+
     def make_body(ctx):
         (keys, ray_pos, ray_dir, t_max, t_max_safe, extinctions, inv_max,
          rp, xp) = ctx
 
         def body(s):
             i, t, done, trans = s
-            u = rng.uniform(rng.fold(keys, i), (k,))  # (k, n)
+            u = draw(keys, i, (k,))  # (k, n)
             steps = -jnp.log(jnp.maximum(u, 1e-12)) * inv_max
             ts = t[None, :] + jnp.cumsum(steps, axis=0)
             if cfg.scalar_ray_geom:
@@ -802,6 +781,10 @@ _CLOUD_VALID_COARSE = 115e3
 _CLOUD_SKIP_FINE = 6e3
 _CLOUD_SKIP_WIDE = 20e3  # < 25 km wide-mip validity
 _CLOUD_SKIP_COARSE = 100e3  # < 115 km coarse-mip validity
+# stacked validity column for the fused 3-channel band skip (tight/wide/coarse)
+_CVALID3 = jnp.array(
+    [_CLOUD_VALID, _CLOUD_VALID_WIDE, _CLOUD_VALID_COARSE], jnp.float32
+)[:, None]
 
 
 def _track_cloud(
@@ -852,6 +835,10 @@ def _track_cloud(
     else:
         b0_c = h2_c = None
 
+    draw = rng.fast_uniform if cfg.fast_loop_rng else (
+        lambda ks, i, shape: rng.uniform(rng.fold(ks, i), shape)
+    )
+
     def make_body(ctx):
         keys, ray_pos, ray_dir, t_max, t_max_safe, ext_w, b0, h2 = ctx
 
@@ -865,7 +852,7 @@ def _track_cloud(
 
         def body(s):
             i, t, done, t_fetch, sig_loc, stride, event, trans = s
-            u = rng.uniform(rng.fold(keys, i), (3, k))  # (3, k, n)
+            u = draw(keys, i, (3, k))  # (3, k, n)
 
             skipping = sig_loc <= 0.0
             budget_end = jnp.minimum(t_fetch + _CLOUD_VALID, t_max)
@@ -899,9 +886,10 @@ def _track_cloud(
             fine_ext = ext_w[None, :] * _cloud_shape_density(
                 sample[..., 0], rlen
             )
-            mip_f = sample[..., 1]
-            mip_c = sample[..., 2]
-            mip_w_ = sample[..., 3]
+            mips_k = sample[..., 1:4]  # (k, n, 3): tight, coarse, wide
+            mip_f = mips_k[..., 0]
+            mip_c = mips_k[..., 1]
+            mip_w_ = mips_k[..., 2]
 
             # --- skip branch: jump to the first occupied probe at the lane's
             # skip level; each stride level tests its own certification bound
@@ -919,15 +907,13 @@ def _track_cloud(
             skip_t = jnp.where(
                 skip_any, jnp.sum(ts_c * pickf, axis=0), t + k * stride
             )
-            skip_mip_f = jnp.where(
-                skip_any, jnp.sum(mip_f * pickf, axis=0), mip_f[-1]
-            )
-            skip_mip_c = jnp.where(
-                skip_any, jnp.sum(mip_c * pickf, axis=0), mip_c[-1]
-            )
-            skip_mip_w = jnp.where(
-                skip_any, jnp.sum(mip_w_ * pickf, axis=0), mip_w_[-1]
-            )
+            # stacked 3-channel mip select (fusion-group diet): one reduce
+            # for all three bound channels instead of three
+            skip_mips = jnp.where(
+                skip_any[:, None],
+                jnp.sum(mips_k * pickf[..., None], axis=0),
+                mips_k[-1],
+            )  # (n, 3)
 
             # --- tracking branch: first real collision or budget crossing
             ratio = fine_ext / jnp.maximum(sig_loc[None, :], 1e-20)
@@ -941,9 +927,11 @@ def _track_cloud(
                 wood_t = jnp.where(any_stop, psel(ts_c), ts_c[-1])
                 wood_real = any_stop & (psel(real_k.astype(ts.dtype)) > 0.5)
                 # refresh the majorant from the tap at the stopping/last position
-                wood_mip_f = jnp.where(any_stop, psel(mip_f), mip_f[-1])
-                wood_mip_c = jnp.where(any_stop, psel(mip_c), mip_c[-1])
-                wood_mip_w = jnp.where(any_stop, psel(mip_w_), mip_w_[-1])
+                wood_mips = jnp.where(
+                    any_stop[:, None],
+                    jnp.sum(mips_k * pick[..., None], axis=0),
+                    mips_k[-1],
+                )
             else:
                 # ratio mode: every in-budget probe contributes a factor; advance
                 # past all of them (to the budget boundary if it was crossed)
@@ -954,14 +942,10 @@ def _track_cloud(
                     any_crossed, jnp.sum(ts_c * pick_c, axis=0), ts_c[-1]
                 )
                 wood_real = jnp.zeros(t.shape, bool)
-                wood_mip_f = jnp.where(
-                    any_crossed, jnp.sum(mip_f * pick_c, axis=0), mip_f[-1]
-                )
-                wood_mip_c = jnp.where(
-                    any_crossed, jnp.sum(mip_c * pick_c, axis=0), mip_c[-1]
-                )
-                wood_mip_w = jnp.where(
-                    any_crossed, jnp.sum(mip_w_ * pick_c, axis=0), mip_w_[-1]
+                wood_mips = jnp.where(
+                    any_crossed[:, None],
+                    jnp.sum(mips_k * pick_c[..., None], axis=0),
+                    mips_k[-1],
                 )
                 factors = jnp.where(crossed, 1.0, 1.0 - ratio)
                 block = jnp.prod(factors, axis=0)
@@ -970,9 +954,10 @@ def _track_cloud(
             skip_lane = (~done) & skipping
 
             t_new = jnp.where(skip_lane, skip_t, jnp.where(step_lane, wood_t, t))
-            new_mip_f = jnp.where(skip_lane, skip_mip_f, wood_mip_f)
-            new_mip_c = jnp.where(skip_lane, skip_mip_c, wood_mip_c)
-            new_mip_w = jnp.where(skip_lane, skip_mip_w, wood_mip_w)
+            new_mips = jnp.where(skip_lane[:, None], skip_mips, wood_mips)
+            new_mip_f = new_mips[..., 0]
+            new_mip_c = new_mips[..., 1]
+            new_mip_w = new_mips[..., 2]
             moved = skip_lane | step_lane
             sig_new = jnp.where(moved, majorant(new_mip_f), sig_loc)
             stride_new = jnp.where(
@@ -1027,23 +1012,44 @@ def _track_cloud(
             jmask = (~done) & moved & at_tap
             if cfg.scalar_ray_geom:
                 b_stop = b0 + t_new
+                h2s = h2
                 r_stop = jnp.sqrt(h2 + b_stop * b_stop)
             else:
                 pos_stop = ray_pos + t_new[:, None] * ray_dir
+                b_stop = jnp.sum(pos_stop * ray_dir, axis=-1)
+                crs = jnp.cross(pos_stop, ray_dir)
+                h2s = jnp.sum(crs * crs, axis=-1)  # stable perigee^2
                 r_stop = mu.length(pos_stop)
-            jump = jnp.zeros_like(t)
-            for mip_ch, valid_ch in (
-                (new_mip_f, _CLOUD_VALID),
-                (new_mip_w, _CLOUD_VALID_WIDE),
-                (new_mip_c, _CLOUD_VALID_COARSE),
-            ):
-                lo, hi = _cloud_band_radii(mip_ch)
-                t_ent = (
-                    _band_entry_dist_scalar(b_stop, h2, r_stop, lo, hi)
-                    if cfg.scalar_ray_geom
-                    else _band_entry_dist(pos_stop, ray_dir, r_stop, lo, hi)
-                )
-                jump = jnp.maximum(jump, jnp.minimum(t_ent, valid_ch))
+            # Stacked 3-channel band-entry (fusion-group diet): one shared
+            # ray quadratic, one sqrt per root family across all 3 bounds.
+            # Classification carries a few meters of margin (beps): at
+            # planet radius f32 resolves ~0.5 m, so a lane sitting ON a
+            # boundary sphere can read as outside while the root collapses
+            # to <=0 noise — without the margin that combination certified
+            # a bogus full-validity jump THROUGH the band (caught by the
+            # tracking-equivalence tests). Boundary-zone lanes count as
+            # inside (entry 0 — never skip), and a "below" lane whose far
+            # root is non-positive enters immediately.
+            mips3 = jnp.stack([new_mip_f, new_mip_w, new_mip_c])  # (3, n)
+            lo3, hi3 = _cloud_band_radii(mips3)
+            big = jnp.float32(3e7)
+            beps = 4.0
+            above3 = r_stop[None] > hi3 + beps
+            below3 = r_stop[None] < lo3 - beps
+            dh = hi3 * hi3 - h2s[None]
+            hi_near = jnp.where(
+                dh < 0.0, -1.0, -b_stop[None] - jnp.sqrt(jnp.maximum(dh, 0.0))
+            )
+            dl = lo3 * lo3 - h2s[None]
+            lo_far = jnp.where(
+                dl < 0.0, -1.0, -b_stop[None] + jnp.sqrt(jnp.maximum(dl, 0.0))
+            )
+            t_ent3 = jnp.where(
+                above3,
+                jnp.where(hi_near > 0.0, hi_near, big),
+                jnp.where(below3, jnp.maximum(lo_far, 0.0), 0.0),
+            )
+            jump = jnp.max(jnp.minimum(t_ent3, _CVALID3), axis=0)
             jump = jnp.where(jmask, jump, 0.0)
             t_new = t_new + jump
             jumped = jump > 0.0
@@ -1443,6 +1449,18 @@ def run_bounces(
         # per-lane bounce keys (ops/rng.py): lane key -> bounce -> site
         kb = rng.fold(rng_keys, bounce)
 
+        # bounce-dependent march floor (params.march_floor_frac_secondary):
+        # secondary grazing rays carry the floor-tunneling bias, bounce-0
+        # marching carries most of the cost
+        if (cfg.march_floor_frac_secondary is not None
+                and not (cfg.naive_tracking or cfg.naive_march)):
+            march_kw = dict(floor_frac=jnp.where(
+                bounce > 0,
+                cfg.march_floor_frac_secondary, cfg.march_floor_frac,
+            ))
+        else:
+            march_kw = {}
+
         # 1. land intersection, 2. free-flight sampling capped at the land
         # hit (reference pathtracer.py:359-368).
         if cfg.naive_tracking or not cfg.lazy_march:
@@ -1450,7 +1468,8 @@ def run_bounces(
             # march capped at the sampled event was measured slower: it
             # trades march iterations for *more* tracking iterations on
             # exactly the grazing near-terrain lanes that set the pace.
-            earth = _march(atlas.topography, pos, direction, scale, alive, cfg)
+            earth = _march(atlas.topography, pos, direction, scale, alive,
+                           cfg, **march_kw)
             event, t_int, iid, _, _ = sample_interaction(
                 rng.fold(kb, _SITE_FLIGHT), pos, direction, earth, ext_rmo,
                 ext_w, max_ext_rmo, max_ext_cloud, atlas, alive, cfg,
@@ -1503,7 +1522,8 @@ def run_bounces(
             earth_pre = jax.lax.cond(
                 jnp.any(pre),
                 lambda _: _march(
-                    atlas.topography, pos, direction, scale, pre, cfg
+                    atlas.topography, pos, direction, scale, pre, cfg,
+                    **march_kw
                 ),
                 lambda _: jnp.full((n,), -1.0),
                 None,
@@ -1532,7 +1552,7 @@ def run_bounces(
                     )
                 return _march(
                     atlas.topography, pos, direction, scale, need_march,
-                    cfg, t_cap=t_cap,
+                    cfg, t_cap=t_cap, **march_kw
                 )
 
             earth_post = jax.lax.cond(
@@ -1820,6 +1840,44 @@ def run_bounces(
         primary_miss=state[6],
         work_class=state[8],
         rng=rng_keys,
+    )
+
+
+def classify_primary(st: TraceState, scale, cfg: TraceConfig) -> TraceState:
+    """Analytic bounce-0 pre-kill + workload classing (params.binned_stage1).
+
+    Pre-kill: a camera ray whose far atmosphere-shell root is non-positive
+    never enters the atmosphere — no volume events (reference
+    pathtracer.py:180-184: the RMO span is empty), no land hit (terrain lies
+    inside the shell), so its outcome is exactly the primary miss the bounce
+    loop would assign it (reference pathtracer.py:441-444). Marking it dead
+    up front lets the stage compactor pack sky lanes into tiles the
+    per-tile liveness cond skips entirely (~60% of an Apollo frame).
+
+    Class (certified cost proxy from the ray's perigee radius, the f32-stable
+    cross-product form): 0 = disk interior (steep descent, short march),
+    1 = limb band (grazing near-terrain rays — the worst-lane march/track
+    population), 2 = atmosphere-only graze (tracking, no march). Classes are
+    clipped into [0, work_bins); the compactor's class binning then gives
+    every bounce-0 tile a homogeneous iteration profile, exactly like the
+    tail stages (TraceState.work_class docs)."""
+    pos, direction = st.pos, st.direction
+    a_near, a_far = mu.rsi(pos, direction, C.ATMOS_UPPER_LIMIT)
+    enters = a_far > 0.0
+    cr = jnp.cross(pos, direction)
+    h2 = jnp.sum(cr * cr, axis=-1)
+    b0 = mu.dot(pos, direction)
+    # min radius along t >= 0: the line perigee when it lies ahead, else |pos|
+    p = jnp.where(b0 < 0.0, jnp.sqrt(h2), mu.length(pos))
+    cls = jnp.where(
+        p < C.PLANET_R - 100e3,
+        0,
+        jnp.where(p < C.PLANET_R + scale, 1, 2),
+    ).astype(jnp.int32)
+    return st._replace(
+        alive=st.alive & enters,
+        primary_miss=st.primary_miss | (st.alive & ~enters),
+        work_class=jnp.clip(cls, 0, cfg.work_bins - 1),
     )
 
 

@@ -157,17 +157,18 @@ def _trace_tile_range(
     spp = jnp.asarray(spp, jnp.int32)
     spp_key = jax.random.fold_in(base_key, spp)
 
-    def render_tile(tile_idx):
-        """Ray gen + spectral sampling + stage-1 bounces (+ miss shading).
+    def gen_rays(tidx, li):
+        """Per-lane ray gen + primary-dimension sampling for lanes at
+        in-tile index ``li`` of pixel-block ``tidx`` (both (m,) arrays).
 
         All randomness is per-lane, keyed by (frame key, global pixel id)
         (ops/rng.py), so the rendered frame is bit-identical under any
-        tile/block/mesh layout."""
-        bx = tile_idx // nby
-        by = tile_idx % nby
-        lane = jnp.arange(tile)
-        pu_i = bx * bw + lane // bh
-        pv_i = by * bh + lane % bh
+        tile/block/mesh layout — including the binned_stage1 frame-wide
+        path, which calls this once for every lane in the range."""
+        bx = tidx // nby
+        by = tidx % nby
+        pu_i = bx * bw + li // bh
+        pv_i = by * bh + li % bh
         pid = pu_i * h + pv_i  # global pixel id
         lkeys = rng.lane_keys(spp_key, pid)
         pu = pu_i.astype(jnp.float32)
@@ -189,7 +190,15 @@ def _trace_tile_range(
             u_jit = rng.uniform(rng.fold(lkeys, _SITE_JITTER), (2,))
             u = rng.uniform(rng.fold(lkeys, _SITE_WL))
         dirs = cast_dirs(cam, pu, pv, u_jit[0], u_jit[1], image_res)
-        pos = jnp.broadcast_to(cam.position, (tile, 3))
+        pos = jnp.broadcast_to(cam.position, (tidx.shape[0], 3))
+        return lkeys, dirs, pos, u
+
+    def render_tile(tile_idx):
+        """Ray gen + spectral sampling + stage-1 bounces (+ miss shading),
+        one spatially-coherent pixel block at a time."""
+        lane = jnp.arange(tile)
+        tidx = jnp.full((tile,), tile_idx)
+        lkeys, dirs, pos, u = gen_rays(tidx, lane)
         if mode == "preview":
             from .raymarcher import march_paths
 
@@ -214,96 +223,129 @@ def _trace_tile_range(
         st = pt.shade_primary_miss(st, scene, atlas, luts, cfg)
         return responses, st
 
+    def run_staged(st, responses, lane_id, n, b_init):
+        """Compacted-stage sweep: ONE compiled stage executable swept over a
+        dynamic bounce window; the while_loop exits as soon as the whole
+        range dies, so cloudless frames pay zero tail stages."""
+        width = cfg.compact_every
+        # largest divisor of n that is <= compact_tile and VPU-lane
+        # aligned (multiple of 128). The old fallback (ctile = tile when
+        # compact_tile doesn't divide n) silently ran the ENTIRE tail at
+        # stage-1 tile granularity at 1080p (2,073,600 % 32768 != 0) —
+        # measured 22% of the frame. 1080p now gets 20736-lane tail
+        # tiles (128 x 162, 100 tiles) instead of ~1300 stage-1-sized
+        # ones.
+        ctile = tile
+        for d in range(cfg.compact_tile, 127, -1):
+            if n % d == 0 and d % 128 == 0:
+                ctile = d
+                break
+        n_ctiles = n // ctile
+
+        def stage_cond(carry):
+            b0 = carry[0]
+            alive = carry[1].alive
+            return (b0 < cfg.max_bounces) & jnp.any(alive)
+
+        def stage_body(carry):
+            b0, st, responses, lane_id = carry
+            (st, responses, lane_id), _ = _compact_by_alive(
+                (st, responses, lane_id), st.alive, st.work_class,
+                n_bins=cfg.work_bins,
+            )
+            # the first window after b_init=0 (binned_stage1) covers
+            # compact_after bounces, mirroring the block-tiled schedule
+            b1 = jnp.minimum(
+                jnp.where(
+                    b0 == 0, jnp.maximum(cfg.compact_after, 1), b0 + width
+                ),
+                cfg.max_bounces,
+            )
+
+            def stage_tile(args):
+                i, sub = args
+
+                def live(_):
+                    # NOT unrolled: a tail tile whose lanes all die mid
+                    # stage skips the remaining bounces through the
+                    # while condition — worth more than the while op's
+                    # overhead (unrolled tail measured 6.41 s/spp vs
+                    # 5.77 while'd, 1080p Apollo)
+                    return pt.run_bounces(
+                        sub, scene, atlas, luts, cfg, b0, b1,
+                    )
+
+                # compaction packs alive lanes into a tile prefix, so
+                # late stages sweep mostly-dead tiles; the cond skips
+                # their per-tile pre-loop setup (spectral constants,
+                # extinction stacks), not just the bounce loop
+                return jax.lax.cond(
+                    jnp.any(sub.alive), live, lambda _: sub, None
+                )
+
+            sub_states = jax.tree_util.tree_map(
+                lambda a: a.reshape((n_ctiles, ctile) + a.shape[1:]), st
+            )
+            st = jax.lax.map(
+                stage_tile, (jnp.arange(n_ctiles), sub_states)
+            )
+            st = jax.tree_util.tree_map(
+                lambda a: a.reshape((n,) + a.shape[2:]), st
+            )
+            return (b1, st, responses, lane_id)
+
+        _, st, responses, lane_id = jax.lax.while_loop(
+            stage_cond,
+            stage_body,
+            (jnp.asarray(b_init, jnp.int32), st, responses, lane_id),
+        )
+        return st, responses, lane_id
+
     if tile_ids is None:
         tile_ids = tile0 + jnp.arange(n_tiles)
+    n = n_tiles * tile
     if mode == "preview":
         return jax.lax.map(
             lambda i: render_tile(i)[0], tile_ids
-        ).reshape(n_tiles * tile, 3)
+        ).reshape(n, 3)
+    elif cfg.binned_stage1:
+        # frame-wide class-binned scheduling from bounce 0 (see
+        # params.binned_stage1): generate every ray in the range, pre-kill
+        # atmosphere misses, and let the compacted-stage sweep (which bins
+        # by work_class, including the analytic bounce-0 class) run ALL
+        # bounces in width-flat latency-bound tiles.
+        lane = jnp.arange(n)
+        tidx = tile_ids[lane // tile]
+        lkeys, dirs, pos, u = gen_rays(tidx, lane % tile)
+        wavelengths, responses, lambda_pdf = sp.spectrum_sample_hero(
+            u, luts.cie_cdf, luts.cie_response, cfg.hero_lambdas
+        )
+        st = pt.init_state(pos, dirs, wavelengths, lambda_pdf,
+                           rng_keys=lkeys)
+        st = pt.classify_primary(st, scene.land_height_scale, cfg)
+        lane_id = jnp.arange(n, dtype=jnp.int32)
+        st, responses, lane_id = run_staged(st, responses, lane_id, n, 0)
+        # primary-miss lanes froze at bounce 0 (or were pre-killed) with
+        # radiance 0 and their camera direction intact, so shading them
+        # after the sweep is bit-identical to the per-tile order
+        st = pt.shade_primary_miss(st, scene, atlas, luts, cfg)
     else:
         responses, st = jax.lax.map(render_tile, tile_ids)
-        n = n_tiles * tile
         responses, st = jax.tree_util.tree_map(
             lambda a: a.reshape((n,) + a.shape[2:]), (responses, st)
         )
         lane_id = jnp.arange(n, dtype=jnp.int32)
-
         if len(stages) > 2:
-            # ONE compiled stage executable swept over a dynamic bounce
-            # window; the while_loop exits as soon as the whole frame dies,
-            # so cloudless frames pay zero tail stages.
-            width = cfg.compact_every
-            # largest divisor of n that is <= compact_tile and VPU-lane
-            # aligned (multiple of 128). The old fallback (ctile = tile when
-            # compact_tile doesn't divide n) silently ran the ENTIRE tail at
-            # stage-1 tile granularity at 1080p (2,073,600 % 32768 != 0) —
-            # measured 22% of the frame. 1080p now gets 20736-lane tail
-            # tiles (128 x 162, 100 tiles) instead of ~1300 stage-1-sized
-            # ones.
-            ctile = tile
-            for d in range(cfg.compact_tile, 127, -1):
-                if n % d == 0 and d % 128 == 0:
-                    ctile = d
-                    break
-            n_ctiles = n // ctile
-
-            def stage_cond(carry):
-                b0 = carry[0]
-                alive = carry[1].alive
-                return (b0 < cfg.max_bounces) & jnp.any(alive)
-
-            def stage_body(carry):
-                b0, st, responses, lane_id = carry
-                (st, responses, lane_id), _ = _compact_by_alive(
-                    (st, responses, lane_id), st.alive, st.work_class,
-                    n_bins=cfg.work_bins,
-                )
-                b1 = jnp.minimum(b0 + width, cfg.max_bounces)
-
-                def stage_tile(args):
-                    i, sub = args
-
-                    def live(_):
-                        # NOT unrolled: a tail tile whose lanes all die mid
-                        # stage skips the remaining bounces through the
-                        # while condition — worth more than the while op's
-                        # overhead (unrolled tail measured 6.41 s/spp vs
-                        # 5.77 while'd, 1080p Apollo)
-                        return pt.run_bounces(
-                            sub, scene, atlas, luts, cfg, b0, b1,
-                        )
-
-                    # compaction packs alive lanes into a tile prefix, so
-                    # late stages sweep mostly-dead tiles; the cond skips
-                    # their per-tile pre-loop setup (spectral constants,
-                    # extinction stacks), not just the bounce loop
-                    return jax.lax.cond(
-                        jnp.any(sub.alive), live, lambda _: sub, None
-                    )
-
-                sub_states = jax.tree_util.tree_map(
-                    lambda a: a.reshape((n_ctiles, ctile) + a.shape[1:]), st
-                )
-                st = jax.lax.map(
-                    stage_tile, (jnp.arange(n_ctiles), sub_states)
-                )
-                st = jax.tree_util.tree_map(
-                    lambda a: a.reshape((n,) + a.shape[2:]), st
-                )
-                return (b1, st, responses, lane_id)
-
-            _, st, responses, lane_id = jax.lax.while_loop(
-                stage_cond,
-                stage_body,
-                (jnp.asarray(stages[1], jnp.int32), st, responses, lane_id),
+            st, responses, lane_id = run_staged(
+                st, responses, lane_id, n, stages[1]
             )
 
-        radiance = pt.finalize_radiance(st)
-        xyz = jnp.einsum("nl,nlc->nc", radiance, responses)
-        rgb = sp.xyz_to_rgb(xyz)
-        # un-permute back to tile-major pixel order
-        rgb = jnp.zeros_like(rgb).at[lane_id].set(rgb)
-        return rgb
+    radiance = pt.finalize_radiance(st)
+    xyz = jnp.einsum("nl,nlc->nc", radiance, responses)
+    rgb = sp.xyz_to_rgb(xyz)
+    # un-permute back to tile-major pixel order
+    rgb = jnp.zeros_like(rgb).at[lane_id].set(rgb)
+    return rgb
 
 
 @partial(

@@ -301,10 +301,11 @@ class TestUpsampledAtlas:
             np.testing.assert_array_equal(packs[k], expect[k])
 
         atlas = upsampled_procedural_atlas(
-            (48, 96), base, seed=3, cache_dir=str(tmp_path)
+            (48, 96), base, seed=3, cache_dir=str(tmp_path), jitter=0.0
         )
         host = pack_atlas(
-            {k: np.repeat(np.repeat(v, 3, 0), 3, 1) for k, v in packs.items()}
+            {k: np.repeat(np.repeat(v, 3, 0), 3, 1) for k, v in packs.items()},
+            jitter=0.0,
         )
         for name in ("material", "topography", "clouds", "stars"):
             g, r = getattr(atlas, name), getattr(host, name)
@@ -312,6 +313,31 @@ class TestUpsampledAtlas:
             np.testing.assert_array_equal(
                 np.asarray(g.rows), np.asarray(r.rows)
             )
+
+    def test_upsample_jitter_properties(self):
+        """Terrain-honesty jitter (VERDICT r4 item 6): deterministic,
+        channel-0-only, downward-only (mips stay conservative), zero stays
+        zero (exact-ocean hits stay exact), and actually moves texels."""
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 255, (6, 12, 4), dtype=np.uint8)
+        img[:2, :3, 0] = 0  # an "ocean" patch
+        ref = tx.Tex2D.from_upsampled(jnp.asarray(img), 4)
+        a = tx.Tex2D.from_upsampled(jnp.asarray(img), 4, jitter=0.06)
+        b = tx.Tex2D.from_upsampled(jnp.asarray(img), 4, jitter=0.06)
+        ra = np.asarray(ref.rows).astype(int)
+        rj = np.asarray(a.rows).astype(int)
+        np.testing.assert_array_equal(np.asarray(a.rows), np.asarray(b.rows))
+        lane = np.arange(128)
+        tpr = 128 // 4
+        valid = lane < tpr * 4
+        c0 = valid & (lane % 4 == 0)
+        rest = valid & (lane % 4 != 0)
+        assert (rj[:, c0] <= ra[:, c0]).all()
+        assert (rj[:, c0] >= np.floor(ra[:, c0] * 0.94) - 1).all()
+        np.testing.assert_array_equal(rj[:, rest], ra[:, rest])
+        zero = ra[:, c0] == 0
+        assert (rj[:, c0][zero] == 0).all()
+        assert (rj[:, c0] != ra[:, c0]).mean() > 0.3
 
     def test_non_integer_factor_rejected(self):
         from digital_earth_tpu.assets.textures import (

@@ -172,6 +172,96 @@ class TestRmoTrackers:
         assert abs(f.mean() - nv.mean()) < 5 * se
 
 
+class TestFastLoopRng:
+    """The counter-hash in-loop generator (params.fast_loop_rng,
+    ops/rng.fast_uniform) must reproduce every tracker distribution the
+    threefry draws produce — validated against the naive twins exactly like
+    the accelerated trackers themselves, plus direct uniformity checks."""
+
+    CFGF = TraceConfig(max_tracking_steps=4096, fast_loop_rng=True)
+
+    def test_uniformity_and_decorrelation(self):
+        from digital_earth_tpu.ops import rng as rr
+
+        keys = rr.as_lane_keys(jax.random.PRNGKey(11), 512)
+        us = np.asarray(
+            jnp.stack([rr.fast_uniform(keys, i, (3, 4)) for i in range(16)])
+        )  # (16, 3, 4, 512)
+        flat = us.reshape(-1)
+        assert 0.0 <= flat.min() and flat.max() < 1.0
+        assert abs(flat.mean() - 0.5) < 3.0 / np.sqrt(flat.size)
+        assert abs(flat.var() - 1.0 / 12.0) < 0.002
+        # chi-square on 32 bins
+        h, _ = np.histogram(flat, bins=32, range=(0.0, 1.0))
+        exp = flat.size / 32.0
+        chi2 = ((h - exp) ** 2 / exp).sum()
+        assert chi2 < 32 + 5 * np.sqrt(2 * 32)  # ~5 sigma
+        # lag-1 correlations along every axis (iteration, draw, probe, lane)
+        for ax in range(4):
+            a = np.moveaxis(us, ax, 0)
+            x = a[:-1].reshape(-1) - 0.5
+            y = a[1:].reshape(-1) - 0.5
+            r = (x * y).mean() / (x.std() * y.std() + 1e-12)
+            assert abs(r) < 5.0 / np.sqrt(x.size), (ax, r)
+
+    def test_cloud_delta_matches_naive(self, setup):
+        atlas, nvec = setup
+        reps = 3000
+        ground = nvec * (C.PLANET_R + 100.0)
+        o, d, ts, tm = _cloud_spans(ground, nvec, reps)
+        ext_w = jnp.full(reps, C.CLOUDS_EXTINCT)
+        act = jnp.ones(reps, bool)
+        e_f, t_f = pt._track_cloud(
+            jax.random.PRNGKey(7), o, d, ts, tm, ext_w,
+            ext_w * C.CLOUDS_DENSITY, atlas.clouds, act, self.CFGF, "delta",
+        )
+        ext4 = jnp.zeros((reps, 4)).at[:, 3].set(C.CLOUDS_EXTINCT)
+        e_n, t_n, _ = tn.delta_track_naive(
+            jax.random.PRNGKey(8), o, d, ts, tm, ext4,
+            ext_w * C.CLOUDS_DENSITY, atlas.clouds, "cloud", act, CFG,
+        )
+        e_f, e_n = np.asarray(e_f), np.asarray(e_n)
+        t_f, t_n = np.asarray(t_f), np.asarray(t_n)
+        p_f, p_n = (e_f > 0).mean(), (e_n > 0).mean()
+        se = np.sqrt(p_n * (1 - p_n) / reps) + 1e-6
+        assert abs(p_f - p_n) < 5 * se + 0.01
+        m_f, m_n = t_f[e_f > 0].mean(), t_n[e_n > 0].mean()
+        s = t_n[e_n > 0].std() / np.sqrt((e_n > 0).sum()) + 1e-3
+        assert abs(m_f - m_n) < 6 * s + 0.01 * abs(m_n)
+
+    def test_rmo_trackers_match_naive(self, setup):
+        atlas, _ = setup
+        reps = 3000
+        helper = TestRmoTrackers()
+        o, d, ts, tm, ext, max_ext = helper._setup_rays(reps)
+        act = jnp.ones(reps, bool)
+        e_f, t_f, _ = pt._delta_track_rmo(
+            jax.random.PRNGKey(3), o, d, ts, tm, ext[:, None, :], max_ext,
+            act, self.CFGF,
+        )
+        ext4 = jnp.concatenate([ext, jnp.zeros((reps, 1))], axis=-1)
+        e_n, t_n, _ = tn.delta_track_naive(
+            jax.random.PRNGKey(4), o, d, ts, tm, ext4, max_ext,
+            atlas.clouds, "rmo", act, CFG,
+        )
+        e_f, e_n = np.asarray(e_f), np.asarray(e_n)
+        for ev in (1, 2):
+            p_f, p_n = (e_f == ev).mean(), (e_n == ev).mean()
+            se = np.sqrt(max(p_n * (1 - p_n), 1e-6) / reps)
+            assert abs(p_f - p_n) < 5 * se + 0.01, (ev, p_f, p_n)
+        tr_f = pt._ratio_track_rmo(
+            jax.random.PRNGKey(1), o, d, ts, tm, ext[:, None, :], max_ext,
+            act, self.CFGF,
+        )[:, 0]
+        tr_n = tn.ratio_track_naive(
+            jax.random.PRNGKey(2), o, d, ts, tm, ext4, max_ext,
+            atlas.clouds, "rmo", act, CFG,
+        )
+        f, nv = np.asarray(tr_f), np.asarray(tr_n)
+        se = (f.std() + nv.std()) / np.sqrt(reps) + 1e-4
+        assert abs(f.mean() - nv.mean()) < 5 * se
+
+
 class TestMarchEquivalence:
     def test_camera_rays_agree(self, setup):
         atlas, _ = setup

@@ -156,6 +156,35 @@ def main():
         # -0.55% +- 0.55 apollo B (inside the gate; docs/PARITY.md round 4)
         "floor_p005": {"tile_pixels": 2048, "march_floor_frac": 0.005},
         "floor_p01": {"tile_pixels": 2048, "march_floor_frac": 0.01},
+        # split floor: 0.02 on the bounce-0 march (62% of frame cost,
+        # bias-exonerated), 0.005 on secondary marches (the bias carrier)
+        "floor_sec005": {"tile_pixels": 2048,
+                         "march_floor_frac_secondary": 0.005},
+        "floor_sec01": {"tile_pixels": 2048,
+                        "march_floor_frac_secondary": 0.01},
+        # loose primary floor + tight secondary floor: bounce-0 is
+        # bias-exonerated and cost-heavy, secondaries carry the bias
+        "floor_pri05_sec005": {"tile_pixels": 2048, "march_floor_frac": 0.05,
+                               "march_floor_frac_secondary": 0.005},
+        "floor_pri05_sec01": {"tile_pixels": 2048, "march_floor_frac": 0.05,
+                              "march_floor_frac_secondary": 0.01},
+        # counter-hash in-loop RNG (params.fast_loop_rng)
+        "fastrng": {"tile_pixels": 2048, "fast_loop_rng": True},
+        "fastrng_f01": {"tile_pixels": 2048, "fast_loop_rng": True,
+                        "march_floor_frac": 0.01},
+        # frame-wide class-binned bounce-0 scheduling (params.binned_stage1)
+        # at several compact-tile widths (loops are width-flat to ~16K)
+        "binned": {"tile_pixels": 2048, "binned_stage1": True},
+        "binned_ct4k": {"tile_pixels": 2048, "binned_stage1": True,
+                        "compact_tile": 4096},
+        "binned_ct8k": {"tile_pixels": 2048, "binned_stage1": True,
+                        "compact_tile": 8192},
+        "binned_ct16k": {"tile_pixels": 2048, "binned_stage1": True,
+                         "compact_tile": 16384},
+        "binned_ct16k_wb5": {"tile_pixels": 2048, "binned_stage1": True,
+                             "compact_tile": 16384, "work_bins": 5},
+        "binned_ct16k_ce3": {"tile_pixels": 2048, "binned_stage1": True,
+                             "compact_tile": 16384, "compact_every": 3},
     }
 
     for name in args.variants.split(","):
