@@ -108,6 +108,33 @@ class TraceConfig:
     # march_floor_frac everywhere. The any-hit shadow march always uses the
     # primary floor (exonerated bit-identically in the round-4 bisection).
     march_floor_frac_secondary: "float | None" = None
+    # Certified floor hops (round 5, VERDICT r4 item 2a): before applying the
+    # uncertified floor step, test whether the ray's analytic minimum radius
+    # over the hop segment [t, t + floor] stays above ANY of the three
+    # regional max-height bound spheres already gathered for the skip logic
+    # (their validity radii 8/25/115 km dwarf the sub-texel hop, and the
+    # test is pure arithmetic on the shared ray quadratic — zero extra
+    # taps). A certified hop cannot tunnel: terrain under the segment lies
+    # below a sphere the segment provably clears. Uncertified probes (ray
+    # below every regional bound — the grazing-crossing population the
+    # floor-linear apollo-B bias rides, docs/PARITY.md round 4) fall back
+    # to march_uncert_floor_frac, buying 0.005-ladder fidelity only where
+    # tunneling is geometrically possible instead of taxing every
+    # secondary march (+20.4% measured for the blanket secondary floor).
+    march_certified_floor: bool = False
+    march_uncert_floor_frac: float = 0.005
+    # Reference phantom-hit semantics (round 5, the florida-R mechanism):
+    # the reference march (pathtracer.py:27-46) counts ANY ray whose
+    # 250-step crawl ends inside 10 planet radii as a land hit — including
+    # near-tangent escape rays that exhaust the budget climbing out of a
+    # sub-km perigee well and "hit" tens of thousands of km above the
+    # surface, where the reference then shades terrain. The wavefront march
+    # bounds the march to the displaced surface's shell and correctly
+    # misses them; this flag re-creates the reference outcome for the
+    # march's miss lanes with a gather-free h=0 crawl emulation
+    # (pathtracer._phantom_crawl). Default True: the parity gate is
+    # measured against the reference's semantics, ghost limb ring and all.
+    march_ref_phantom: bool = True
     # Hero-wavelength packet size: wavelengths traced per path (Wilkie et al.
     # 2014 spectral MIS). 1 = the reference's single-wavelength estimator;
     # 4 amortizes the path's geometry/tracking over 4 spectral samples,

@@ -122,6 +122,12 @@ def land_normal(topo, pos, scale, bilinear=True):
 _MIP_VALID_FINE = 25e3
 _MIP_VALID_COARSE = 115e3
 
+# Line-perigee altitude above which the reference's h=0 crawl provably
+# cannot phantom-hit (see _phantom_crawl): dense sweep puts budget
+# exhaustion below 1913 m and the in-cap epsilon stop below 6371 m; 16 km
+# is a 2.5x margin. tests/test_tracking_equiv.py sweeps the band above it.
+_PHANTOM_PRUNE_ALT = 16e3
+
 
 def _run_narrowed(cond, make_body, ctx, init, done_index, cfg: TraceConfig,
                   wide_cap=None):
@@ -277,7 +283,9 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
     # secondary floor for bounce > 0, params.march_floor_frac_secondary).
     if floor_frac is None:
         floor_frac = cfg.march_floor_frac
-    step_floor = math.pi * C.PLANET_R / topo.w * floor_frac
+    texel_arc = math.pi * C.PLANET_R / topo.w
+    step_floor = texel_arc * floor_frac
+    step_floor_uncert = texel_arc * cfg.march_uncert_floor_frac
 
     bound_near, bound_far = mu.rsi(pos, direction, C.PLANET_R + scale)
     may_hit = active & (bound_far > 0.0)
@@ -370,8 +378,33 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
                 ),
                 axis=0,
             )  # (k, n)
+            if cfg.march_certified_floor:
+                # Certified floor hop (params.march_certified_floor): the
+                # hop [ts, ts + floor] cannot cross terrain if the ray's
+                # minimum radius over the segment clears ANY regional bound
+                # sphere whose validity covers the hop. min |ro(s)| over
+                # s in [0, floor] is analytic on the shared quadratic:
+                # attained at s=0 while ascending (b >= 0), at s=floor while
+                # descending throughout (b + floor <= 0), at the perigee
+                # (sqrt h2) otherwise. Uncertified probes — ray below every
+                # regional max, the only geometry where tunneling can
+                # happen — fall back to the small uncertified floor.
+                b_end = b + step_floor
+                min_r2 = h2b + jnp.where(
+                    b >= 0.0,
+                    b * b,
+                    jnp.where(b_end <= 0.0, b_end * b_end, 0.0),
+                )
+                cert = jnp.any(
+                    (min_r2[None] > r_bound * r_bound)
+                    & (step_floor < _valid3),
+                    axis=0,
+                )  # (k, n)
+                floor_eff = jnp.where(cert, step_floor, step_floor_uncert)
+            else:
+                floor_eff = step_floor
             step = jnp.where(
-                f < 0.0, f, jnp.maximum(jnp.maximum(f, s_region), step_floor)
+                f < 0.0, f, jnp.maximum(jnp.maximum(f, s_region), floor_eff)
             )  # (k, n)
             # Exact analytic ocean hit: a ZERO regional max (the displacement is
             # uint8 >= 0, so zero max means the terrain IS the base sphere
@@ -431,14 +464,25 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
             t_full = ts[-1] + step[-1]
             t_new = jnp.where(any_stop, t_stopped, t_full)
             applied = jnp.where(any_stop, step_stop, step[-1])
-            stride_new = jnp.maximum(applied, step_floor)
+            # stride clamps to the smallest legitimate step so uncertified
+            # lanes chain probes at their actual pace (probes whose step
+            # undershoots the stride stop the sweep anyway — no tunneling)
+            stride_new = jnp.maximum(
+                applied,
+                step_floor_uncert if cfg.march_certified_floor else step_floor,
+            )
 
             newly_done = any_stop & (conv_stop | out_stop)
             missed = missed | ((~done) & any_stop & out_stop & ~conv_stop)
             t_next = jnp.where(done, t, jnp.where(newly_done, t_stop, t_new))
             # stall termination: oscillating boundary lanes (see docstring)
+            # (threshold rides the smallest legitimate floor: lanes pacing
+            # at the uncertified floor are progressing, not oscillating)
+            stall_thresh = (
+                step_floor_uncert if cfg.march_certified_floor else step_floor
+            ) * 0.25
             stalled_now = (~done) & (~newly_done) & (
-                t_next - t < step_floor * 0.25
+                t_next - t < stall_thresh
             )
             stall = jnp.where(stalled_now, stall + 1, 0)
             # terminate as a hit at the current t (patience knob: params)
@@ -460,7 +504,79 @@ def intersect_land(topo, pos, direction, scale, active, cfg: TraceConfig,
     )
     # reference semantics: anything that neither left the shell nor exceeded
     # the cap distance counts as a hit (pathtracer.py:46)
-    return jnp.where((~missed) & (t < max_ray_dist), t, -1.0)
+    result = jnp.where((~missed) & (t < max_ray_dist), t, -1.0)
+    if cfg.march_ref_phantom:
+        result = _phantom_crawl(
+            pos, direction, active, result, t_cap, cfg
+        )
+    return result
+
+
+def _phantom_crawl(pos, direction, active, result, t_cap, cfg):
+    """Reference budget-exhaustion 'phantom' hits (params.march_ref_phantom).
+
+    The reference march (pathtracer.py:27-46) never checks the displaced
+    surface's bounding shell: a near-tangent ray that misses (or exits) the
+    terrain crawls f-steps toward the 10-planet-radii cap, and if its 250-step
+    budget runs out first — perigee altitudes under ~1 km burn hundreds of
+    sub-km steps climbing out of the perigee well — the reference counts it
+    as a LAND HIT at wherever the crawl stopped (up to tens of thousands of
+    km above the surface) and shades terrain there. The wavefront march
+    correctly misses these lanes, which round 4's instrumentation measured
+    as the naive-only hit population (0.10% of florida bounce-0 lanes,
+    two-thirds over ocean) behind the florida R +1.4% parity residual
+    (docs/PARITY.md round 5).
+
+    This emulates the reference crawl for the march's miss lanes with the
+    terrain term dropped (h = 0): gather-free, so each of the reference's
+    250 steps is a few fused VPU ops via the scalar ray quadratic
+    t' = t + sqrt(h2 + (b0+t)^2) - planet_r, 8 steps unrolled per while
+    iteration. Exact over ocean (topography is 0 there); over land skims the
+    naive crawl's in-shell steps are shorter (h > 0), so the emulated budget
+    is slightly generous — the residual is the sliver of lanes whose
+    phantom/escape outcome flips within that slack."""
+    b0 = mu.dot(pos, direction)
+    cr = jnp.cross(pos, direction)
+    h2 = jnp.sum(cr * cr, axis=-1)
+    a_near, _ = mu.rsi(pos, direction, C.ATMOS_UPPER_LIMIT)
+    t0 = jnp.where(a_near > 0.0, a_near, 0.0)
+    max_ray_dist = C.PLANET_R * 10.0
+    # Provable phantom pruning: the crawl is h=0 pure geometry, so its
+    # outcome is a function of (perigee altitude, start offset) alone. A
+    # dense 2000-step sweep of that 2-D space (tools note in
+    # tests/test_tracking_equiv.py::test_phantom_prune_threshold_provable)
+    # shows budget exhaustion is possible only below 1913 m line-perigee
+    # altitude, and the relative-epsilon stop (|dist| < t*1e-4) can fire
+    # inside the 10-planet-radii cap only below 1e-4*10R = 6371 m. Above
+    # 16 km (2.5x margin) a miss lane provably escapes un-phantomed, and
+    # the while_loop's any(~done) retires non-limb tiles in one test —
+    # the crawl's cost concentrates on the limb ring where the reference
+    # actually pays it.
+    perigee_alt = jnp.sqrt(h2) - C.PLANET_R
+    need = active & (result < 0.0) & (perigee_alt < _PHANTOM_PRUNE_ALT)
+
+    def cond(s):
+        i, _, done = s
+        return (i < cfg.land_march_steps) & jnp.any(~done)
+
+    def body(s):
+        i, t, done = s
+        for _ in range(8):
+            b = b0 + t
+            dist = jnp.sqrt(h2 + b * b) - C.PLANET_R
+            t_new = t + dist
+            stop = (t_new > max_ray_dist) | (jnp.abs(dist) < t_new * 1e-4)
+            t = jnp.where(done, t, t_new)
+            done = done | stop
+        return i + 8, t, done
+
+    _, t_ph, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), t0, ~need))
+    phantom = need & (t_ph < max_ray_dist)
+    if t_cap is not None:
+        # a free-flight event before the phantom parameter wins, exactly as
+        # it truncates the real march
+        phantom = phantom & (t_ph < t_cap)
+    return jnp.where(phantom, t_ph, result)
 
 
 # ---------------------------------------------------------------------------

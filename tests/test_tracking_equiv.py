@@ -318,3 +318,116 @@ class TestMarchEquivalence:
             both = (ts > 0) & (tv > 0)
             rel = np.abs(ts[both] - tv[both]) / np.maximum(tv[both], 1.0)
             assert rel.max() < 2e-4
+
+    def _skimming_rays(self, n=2048, seed=1):
+        """Near-tangent rays at low altitude: the phantom-hit / floor-
+        tunneling exposed population."""
+        r = np.random.default_rng(seed)
+        up = np.array([0.0, 1.0, 0.0])
+        alt = r.uniform(2e3, 9e3, n)
+        az = r.uniform(0, 2 * np.pi, n)
+        pitch = np.deg2rad(r.uniform(-0.3, 1.2, n))
+        tang = np.stack([np.cos(az), np.zeros(n), np.sin(az)], -1)
+        d = tang * np.cos(pitch)[:, None] - up[None] * np.sin(pitch)[:, None]
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        pos = jnp.asarray(up[None] * (6371e3 + alt)[:, None], jnp.float32)
+        return pos, jnp.asarray(d, jnp.float32)
+
+    def test_phantom_hits_match_reference_semantics(self, setup):
+        """The reference march counts budget-exhausted near-tangent escape
+        rays as land hits far above the surface (reference
+        pathtracer.py:46); params.march_ref_phantom emulates that crawl for
+        the wavefront march's miss lanes (gather-free, h=0). On the
+        skimming population where the wavefront march previously missed
+        EVERY naive-only hit, the emulation must recover nearly all of
+        them and invent none."""
+        import dataclasses
+
+        atlas, _ = setup
+        pos, dirs = self._skimming_rays()
+        n = pos.shape[0]
+        act = jnp.ones(n, bool)
+        scale = jnp.float32(7800.0)
+        naive = np.asarray(tn.intersect_land_naive(
+            atlas.topography, pos, dirs, scale, act, CFG
+        ))
+        ph = np.asarray(pt.intersect_land(
+            atlas.topography, pos, dirs, scale, act,
+            dataclasses.replace(CFG, march_ref_phantom=True),
+        ))
+        off = np.asarray(pt.intersect_land(
+            atlas.topography, pos, dirs, scale, act,
+            dataclasses.replace(CFG, march_ref_phantom=False),
+        ))
+        nhit, phit, ohit = naive > 0, ph > 0, off > 0
+        # the emulation never invents hits the reference march lacks
+        assert (~nhit & phit).sum() == 0
+        # and recovers most of the naive-only population the plain
+        # wavefront march misses (h=0 emulation: land-skim budget slack
+        # may drop a small tail)
+        assert (nhit & ~ohit).sum() > 0  # the population exists
+        assert (nhit & ~phit).sum() <= 0.25 * (nhit & ~ohit).sum()
+
+    def test_phantom_prune_threshold_provable(self, monkeypatch):
+        """pathtracer._PHANTOM_PRUNE_ALT: the h=0 crawl is pure geometry —
+        its outcome depends only on (line-perigee altitude, start offset).
+        Sweep that 2-D space densely with pruning DISABLED: above the prune
+        threshold the crawl must never phantom (so pruning is exact), and
+        well below it phantoms must exist (the test bites)."""
+        monkeypatch.setattr(pt, "_PHANTOM_PRUNE_ALT", float("inf"))
+        r = np.random.default_rng(3)
+        n = 4096
+        # perigee altitudes spanning both sides of the threshold
+        a = np.concatenate([
+            r.uniform(0.0, 1.8e3, n // 2),            # exhaustion band
+            r.uniform(16e3, 200e3, n // 2),           # pruned band
+        ])
+        u = r.normal(size=(n, 3))
+        u /= np.linalg.norm(u, axis=-1, keepdims=True)
+        w = r.normal(size=(n, 3))
+        d = w - np.sum(w * u, axis=-1, keepdims=True) * u
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        # start before the perigee at random offsets up to the atmosphere
+        # chord (the crawl itself re-clamps to the atmosphere entry)
+        peri = u * (6371e3 + a)[:, None]
+        s0 = r.uniform(0.0, 2.2e6, n)[:, None]
+        pos = jnp.asarray(peri - s0 * d, jnp.float32)
+        dirs = jnp.asarray(d, jnp.float32)
+        res = np.asarray(pt._phantom_crawl(
+            pos, dirs, jnp.ones(n, bool), jnp.full(n, -1.0), None, CFG
+        ))
+        phantom = res > 0
+        assert phantom[n // 2:].sum() == 0, (
+            "crawl phantomed above the prune threshold"
+        )
+        assert phantom[: n // 2].sum() > 0
+
+    def test_certified_floor_no_worse_than_plain_floor(self, setup):
+        """params.march_certified_floor: at an exaggerated floor (0.25
+        texel) the certified variant's hit/miss classification vs the
+        floor-free march must be at least as faithful as the plain
+        floor's, and bit-close where both hit."""
+        import dataclasses
+
+        atlas, _ = setup
+        pos, dirs = self._skimming_rays(seed=5)
+        n = pos.shape[0]
+        act = jnp.ones(n, bool)
+        scale = jnp.float32(7800.0)
+        base = dataclasses.replace(CFG, march_ref_phantom=False)
+        truth = np.asarray(pt.intersect_land(
+            atlas.topography, pos, dirs, scale, act,
+            dataclasses.replace(base, march_floor_frac=1e-6),
+        )) > 0
+        plain = np.asarray(pt.intersect_land(
+            atlas.topography, pos, dirs, scale, act,
+            dataclasses.replace(base, march_floor_frac=0.25),
+        )) > 0
+        cert = np.asarray(pt.intersect_land(
+            atlas.topography, pos, dirs, scale, act,
+            dataclasses.replace(
+                base, march_floor_frac=0.25, march_certified_floor=True,
+                march_uncert_floor_frac=1e-6,
+            ),
+        )) > 0
+        assert (cert != truth).sum() <= (plain != truth).sum()

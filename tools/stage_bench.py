@@ -185,6 +185,47 @@ def main():
                              "compact_tile": 16384, "work_bins": 5},
         "binned_ct16k_ce3": {"tile_pixels": 2048, "binned_stage1": True,
                              "compact_tile": 16384, "compact_every": 3},
+        # certified floor hops (params.march_certified_floor): fidelity fix
+        # for the apollo-B floor tunneling — what does it cost vs the
+        # blanket secondary floor (+20.4%)?
+        "cert_floor": {"tile_pixels": 2048, "march_certified_floor": True},
+        "cert_floor25": {"tile_pixels": 2048, "march_certified_floor": True,
+                         "march_floor_frac": 0.25},
+        "cert_floor10": {"tile_pixels": 2048, "march_certified_floor": True,
+                         "march_floor_frac": 0.10},
+        # subsystem batching (round 5, tools/loop_cost.py): the march loop's
+        # per-CALL cost is width-FLAT 512..32K lanes, so one giant tile pays
+        # the global worst-lane trip count ONCE instead of per tile. The
+        # binned_ct2k..16k variants above never tested the batching regime —
+        # they kept ~the same tile count as the block path.
+        "binned_ct64k": {"tile_pixels": 2048, "binned_stage1": True,
+                         "compact_tile": 65536},
+        "binned_ct256k": {"tile_pixels": 2048, "binned_stage1": True,
+                          "compact_tile": 262144},
+        "binned_ctfull": {"tile_pixels": 2048, "binned_stage1": True,
+                          "compact_tile": 1 << 22},
+        "binned_ctfull_wb5": {"tile_pixels": 2048, "binned_stage1": True,
+                              "compact_tile": 1 << 22, "work_bins": 5},
+        # giant TAIL tiles under the block stage-1 (batching the tail only)
+        "t1920_ctfull": {"tile_pixels": 2048, "compact_tile": 1 << 22},
+        "t1920_ct256k": {"tile_pixels": 2048, "compact_tile": 262144},
+        # certified floor with ~zero uncertified floor: the march-level leak
+        # hunt (docs/PARITY.md round 5) shows the bias carrier is
+        # wrong-crossing distance distortion that ANY uncertified floor
+        # >~0.001 texel reintroduces; these price the faithful configs
+        "cert_u0": {"tile_pixels": 2048, "march_certified_floor": True,
+                    "march_uncert_floor_frac": 1e-6},
+        "cert_u001": {"tile_pixels": 2048, "march_certified_floor": True,
+                      "march_uncert_floor_frac": 0.001},
+        "cert25_u0": {"tile_pixels": 2048, "march_certified_floor": True,
+                      "march_floor_frac": 0.25,
+                      "march_uncert_floor_frac": 1e-6},
+        # reference phantom-hit emulation (params.march_ref_phantom, default
+        # ON): what does the gather-free h=0 crawl cost end to end?
+        "phantom_off": {"tile_pixels": 2048, "march_ref_phantom": False},
+        "cert_floor_ph_off": {"tile_pixels": 2048,
+                              "march_certified_floor": True,
+                              "march_ref_phantom": False},
     }
 
     for name in args.variants.split(","):
