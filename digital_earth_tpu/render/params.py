@@ -93,10 +93,18 @@ class TraceConfig:
     # with the texel, the bias is a function of the FRACTION, not the
     # absolute floor. Measured (Apollo 192 spp/arm vs the floor-free naive
     # march, docs/PARITY.md): 0.25 -> -5.6% +- 1.7 luminance; 0.02 ->
-    # -1.1% +- 1.7 (zero within noise). 0.02 is the fidelity-safe default;
-    # the tight-mip regional skip carries the certified progress the old
-    # floor was papering over.
-    march_floor_frac: float = 0.02
+    # -1.1% +- 1.7 (zero within noise), but the powered round-4/5 battery
+    # resolved a floor-linear apollo-B bias under 0.02 (-1.39/-1.50 +-
+    # 0.55). PRODUCTION DEFAULT 0.005 (round 5, the production-floor
+    # decision in docs/PARITY.md): the CRN-paired battery at 0.005 reads
+    # every apollo channel inside the 1% gate (B -0.57 +- 0.55) at +25%
+    # frame cost; a secondary-only 0.005 floor was measured INSUFFICIENT
+    # (B -1.50 +- 0.55 — the bias rides primary grazing limb rays too),
+    # and the fully-certified march (march_certified_floor + uncert 1e-6,
+    # the only config that also fixes wrong-crossing hit distances) costs
+    # +123% and stays a validation config. The tight-mip regional skip
+    # carries the certified progress the old floor was papering over.
+    march_floor_frac: float = 0.005
     # Separate (smaller) floor for the BOUNCE > 0 primary marches: round-4
     # march-level instrumentation (docs/PARITY.md) shows the floor-linear
     # tunneling bias rides secondary (grazing hemisphere-sampled) rays —
@@ -107,6 +115,10 @@ class TraceConfig:
     # global-0.005 cost (+24.8% measured round 5). None = use
     # march_floor_frac everywhere. The any-hit shadow march always uses the
     # primary floor (exonerated bit-identically in the round-4 bisection).
+    # Round-5 battery: a secondary-only 0.005 floor (primary 0.02) was
+    # measured INSUFFICIENT for the apollo-B gate (B -1.50 +- 0.55) — the
+    # production default is the blanket 0.005 primary floor above, and
+    # this stays None (a bisection/experiment knob).
     march_floor_frac_secondary: "float | None" = None
     # Certified floor hops (round 5, VERDICT r4 item 2a): before applying the
     # uncertified floor step, test whether the ray's analytic minimum radius
